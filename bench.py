@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Benchmark: one-step 4x VSR throughput of the flagship pipeline on TPU.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Scenario matches the reference's headline number (BASELINE.md): a 100-frame
+720p-output clip through the full tiled one-step pipeline (VAE encode -> 5B
+DiT -> velocity->x0 -> VAE decode per tile). Baseline: DOVE runs one clip in
+14.90 s on A100-class GPU; vs_baseline = baseline_time / our_time (>1 is
+faster than the reference).
+
+Weights are zeros (no released checkpoint in this environment) — identical
+compute/memory profile to real weights.
+
+Flags: --tiny runs the tiny config on CPU as a smoke test.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_CLIP_SECONDS = 14.90  # DOVE on A100-class GPU (BASELINE.md)
+
+
+def zeros_tree(shapes):
+    return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+
+def build_pipeline(tiny: bool):
+    from dove_tpu.config import cogvideox1_5_5b, tiny_test
+    from dove_tpu.models.dit import init_dit_params
+    from dove_tpu.models.vae import init_vae_params
+    from dove_tpu.pipeline import DovePipeline
+
+    cfg = tiny_test() if tiny else cogvideox1_5_5b()
+    dtype = jnp.float32 if tiny else jnp.bfloat16
+    dit_shapes = jax.eval_shape(lambda k: init_dit_params(k, cfg.dit, dtype),
+                                jax.random.PRNGKey(0))
+    vae_shapes = jax.eval_shape(lambda k: init_vae_params(k, cfg.vae, dtype),
+                                jax.random.PRNGKey(1))
+    prompt = jnp.zeros((cfg.dit.max_text_seq_length, cfg.dit.text_embed_dim), dtype)
+    return DovePipeline(
+        config=cfg,
+        dit_params=zeros_tree(dit_shapes),
+        vae_params=zeros_tree(vae_shapes),
+        prompt_embedding=prompt,
+        dtype=dtype,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true", help="CPU smoke run")
+    ap.add_argument("--frames", type=int, default=100)
+    ap.add_argument("--height", type=int, default=180, help="LQ input height")
+    ap.add_argument("--width", type=int, default=320, help="LQ input width")
+    ap.add_argument("--chunk_len", type=int, default=17)
+    ap.add_argument("--tile", type=int, nargs=2, default=(384, 384))
+    ap.add_argument("--repeats", type=int, default=2)
+    args = ap.parse_args()
+
+    if args.tiny:
+        args.frames, args.height, args.width = 9, 32, 32
+        args.chunk_len, args.tile = 0, (0, 0)
+
+    pipe = build_pipeline(args.tiny)
+
+    from dove_tpu import tiling
+
+    rng = np.random.default_rng(0)
+    frames = rng.random((args.frames, args.height, args.width, 3), np.float32)
+
+    # Warm-up pass: compiles every tile geometry.
+    t0 = time.time()
+    out = pipe.process_frames(
+        frames,
+        chunk_len=args.chunk_len,
+        tile_size_hw=tuple(args.tile),
+    )
+    compile_and_first = time.time() - t0
+
+    # Timed passes (compiled).
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.time()
+        out = pipe.process_frames(
+            frames,
+            chunk_len=args.chunk_len,
+            tile_size_hw=tuple(args.tile),
+        )
+        times.append(time.time() - t0)
+    clip_seconds = min(times)
+
+    out_frames = out.shape[0]
+    fps = out_frames / clip_seconds
+    result = {
+        "metric": "one_step_4x_vsr_clip_seconds",
+        "value": round(clip_seconds, 3),
+        "unit": f"s per {args.frames}-frame {args.height * 4}x{args.width * 4} clip (1 chip)",
+        "vs_baseline": round(BASELINE_CLIP_SECONDS / clip_seconds, 3),
+        "detail": {
+            "frames_per_second": round(fps, 2),
+            "first_pass_with_compile_s": round(compile_and_first, 2),
+            "output_shape": list(out.shape),
+            "device": str(jax.devices()[0]),
+            "tiny": args.tiny,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Host-side media I/O (decode/encode) for the VSR pipeline.
+
+Capability map of the reference's media layer (SURVEY.md L1; reference:
+/root/reference/inference_script.py:55-189) built on OpenCV, the codec
+library available in this environment (decord/PyAV/ffmpeg-python are not).
+Lossless output falls back to PNG sequences when no lossless video codec is
+available through OpenCV.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import cv2
+import numpy as np
+
+VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv")
+IMAGE_EXTS = (".png", ".jpg", ".jpeg")
+
+
+def is_video_file(path: str | Path) -> bool:
+    return str(path).lower().endswith(VIDEO_EXTS)
+
+
+def read_video_frames(path: str | Path) -> np.ndarray:
+    """Decode all frames -> [F, H, W, 3] float32 RGB in [0, 1]."""
+    cap = cv2.VideoCapture(str(path))
+    frames = []
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+    cap.release()
+    if not frames:
+        raise ValueError(f"no frames decoded from {path}")
+    return np.stack(frames).astype(np.float32) / 255.0
+
+
+def read_image_folder(folder: str | Path) -> np.ndarray:
+    files = sorted(
+        p for p in Path(folder).iterdir() if p.suffix.lower() in IMAGE_EXTS
+    )
+    frames = [
+        cv2.cvtColor(cv2.imread(str(p), cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
+        for p in files
+    ]
+    if not frames:
+        raise ValueError(f"no images in {folder}")
+    return np.stack(frames).astype(np.float32) / 255.0
+
+
+def load_sequence(path: str | Path) -> np.ndarray:
+    """Folder of images, video file, or single image -> [F, H, W, 3] in [0,1]."""
+    path = Path(path)
+    if path.is_dir():
+        return read_image_folder(path)
+    if path.is_file():
+        if is_video_file(path):
+            return read_video_frames(path)
+        if path.suffix.lower() in IMAGE_EXTS:
+            img = cv2.cvtColor(cv2.imread(str(path), cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
+            return img[None].astype(np.float32) / 255.0
+    raise ValueError(f"Unsupported input: {path}")
+
+
+def _to_uint8(video: np.ndarray) -> np.ndarray:
+    """[F, H, W, 3] float [0,1] -> uint8."""
+    return np.clip(video * 255.0, 0, 255).astype(np.uint8)
+
+
+def save_frames_as_png(video: np.ndarray, out_dir: str | Path) -> None:
+    """video: [F, H, W, 3] float [0,1]; writes 000.png, 001.png, ..."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for i, frame in enumerate(_to_uint8(video)):
+        cv2.imwrite(str(out_dir / f"{i:03d}.png"), cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+
+
+def save_video(video: np.ndarray, out_path: str | Path, fps: int = 16) -> Path:
+    """Encode [F, H, W, 3] float [0,1] to mp4 (best available OpenCV codec).
+
+    Returns the actual path written. Note: OpenCV cannot drive x264 CRF
+    settings; for strictly lossless output use save_frames_as_png.
+    """
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    frames = _to_uint8(video)
+    h, w = frames.shape[1:3]
+    for fourcc_name in ("avc1", "mp4v"):
+        fourcc = cv2.VideoWriter_fourcc(*fourcc_name)
+        writer = cv2.VideoWriter(str(out_path), fourcc, fps, (w, h))
+        if writer.isOpened():
+            for frame in frames:
+                writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+            writer.release()
+            return out_path
+        writer.release()
+    raise RuntimeError("no working mp4 encoder in OpenCV build")
+
+
+def bilinear_upscale(frames: np.ndarray, scale: int) -> np.ndarray:
+    """[F, H, W, 3] -> [F, H*s, W*s, 3], half-pixel bilinear (matches
+    torch.nn.functional.interpolate(..., align_corners=False))."""
+    if scale == 1:
+        return frames
+    F, H, W, _ = frames.shape
+    out = np.empty((F, H * scale, W * scale, frames.shape[3]), dtype=frames.dtype)
+    for i in range(F):
+        out[i] = cv2.resize(frames[i], (W * scale, H * scale), interpolation=cv2.INTER_LINEAR)
+    return out
+
+
+def list_videos(input_dir: str | Path) -> list[Path]:
+    files: list[Path] = []
+    for ext in VIDEO_EXTS:
+        files.extend(Path(input_dir).glob(f"*{ext}"))
+    return sorted(files)

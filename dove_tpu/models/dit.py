@@ -1,0 +1,390 @@
+"""CogVideoX Transformer3D ("DiT") — TPU-native JAX implementation.
+
+Functionally equivalent to diffusers' ``CogVideoXTransformer3DModel`` as used
+by the reference (forward call at /root/reference/inference_script.py:483-489,
+config fields per SURVEY.md §2.2), re-designed for XLA:
+
+  * all block parameters are stacked along a leading layer axis and the block
+    stack runs under ``lax.scan`` — one compiled block body instead of 42
+    unrolled copies, with optional ``jax.checkpoint`` rematerialisation;
+  * attention uses fp32-softmax XLA attention or the custom Pallas flash
+    kernel (dove_tpu/ops/attention.py);
+  * LayerNorms/adaLN math in fp32, matmuls in the model dtype (bf16 on TPU);
+  * static shapes: one jit per (frames, height, width) tile geometry.
+
+Architecture (1.5-5B): 3D patchify (p=2, p_t=2) as a single linear, T5 text
+projection, joint [text|video] token sequence, 42 blocks of
+adaLN-zero -> qk-layernorm full attention with 3D RoPE on the video segment ->
+adaLN-zero -> GELU-tanh MLP, final norm + adaLN + linear unpatchify.
+
+Parameter tree layout mirrors the diffusers checkpoint naming (see
+dove_tpu/weights.py) with torch [out,in] weights transposed to JAX [in,out]
+"kernel" convention.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from einops import rearrange
+
+from dove_tpu.config import DiTConfig
+from dove_tpu.ops.attention import full_attention
+from dove_tpu.ops.rope import apply_rotary, rope_3d
+
+Params = dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Primitive layers (functional)
+# ---------------------------------------------------------------------------
+
+def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    y = x @ p["kernel"].astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def _layer_norm(x: jnp.ndarray, eps: float, p: Params | None = None) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = xf.var(axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    if p is not None:
+        y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _timestep_embedding(t: jnp.ndarray, dim: int, flip_sin_to_cos: bool, freq_shift: float) -> jnp.ndarray:
+    """Sinusoidal timestep features, shape [B, dim], fp32."""
+    half = dim // 2
+    exponent = -math.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / (half - freq_shift)
+    emb = t.astype(jnp.float32)[:, None] * jnp.exp(exponent)[None, :]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    return jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+
+
+def _adaln_modulation(p: Params, temb: jnp.ndarray, n_chunks: int) -> list[jnp.ndarray]:
+    """linear(silu(temb)) split into n_chunks of [B, 1, dim]."""
+    h = _linear(p["linear"], jax.nn.silu(temb))
+    return [c[:, None, :] for c in jnp.split(h, n_chunks, axis=-1)]
+
+
+# ---------------------------------------------------------------------------
+# Patchify / unpatchify
+# ---------------------------------------------------------------------------
+
+def patchify(cfg: DiTConfig, p_embed: Params, latent: jnp.ndarray) -> jnp.ndarray:
+    """latent [B, F, C, H, W] -> video tokens [B, S_vid, dim].
+
+    Token order: F-major, then H, then W. Feature order within a patch:
+    (C, p_t, p_h, p_w) with C slowest — matches the released checkpoints.
+    """
+    p = cfg.patch_size
+    if cfg.patch_size_t is None:
+        # CogVideoX-1.0 style: conv2d patchify per frame (kernel [p,p,C,dim]).
+        x = rearrange(latent, "b f c h w -> (b f) h w c")
+        x = jax.lax.conv_general_dilated(
+            x.astype(p_embed["proj"]["kernel"].dtype),
+            p_embed["proj"]["kernel"],
+            window_strides=(p, p),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if "bias" in p_embed["proj"]:
+            x = x + p_embed["proj"]["bias"]
+        return rearrange(x, "(b f) h w d -> b (f h w) d", b=latent.shape[0])
+    pt = cfg.patch_size_t
+    tokens = rearrange(
+        latent,
+        "b (f pt) c (h p1) (w p2) -> b (f h w) (c pt p1 p2)",
+        pt=pt, p1=p, p2=p,
+    )
+    return _linear(p_embed["proj"], tokens)
+
+
+def unpatchify(
+    cfg: DiTConfig, tokens: jnp.ndarray, frames: int, height: int, width: int
+) -> jnp.ndarray:
+    """video tokens [B, S_vid, C*pt*p*p] -> latent [B, F, C_out, H, W]."""
+    p = cfg.patch_size
+    pt = cfg.patch_size_t or 1
+    return rearrange(
+        tokens,
+        "b (f h w) (c pt p1 p2) -> b (f pt) c (h p1) (w p2)",
+        f=frames // pt, h=height // p, w=width // p, pt=pt, p1=p, p2=p,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Transformer block (scanned)
+# ---------------------------------------------------------------------------
+
+def _attention(
+    cfg: DiTConfig,
+    p: Params,
+    hidden: jnp.ndarray,
+    encoder: jnp.ndarray,
+    rope: tuple[jnp.ndarray, jnp.ndarray] | None,
+    backend: str | None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Joint attention over [text | video]; returns (video_out, text_out)."""
+    text_len = encoder.shape[1]
+    x = jnp.concatenate([encoder, hidden], axis=1)
+    B, S, _ = x.shape
+    H, D = cfg.num_attention_heads, cfg.attention_head_dim
+
+    q = _linear(p["to_q"], x).reshape(B, S, H, D).transpose(0, 2, 1, 3)
+    k = _linear(p["to_k"], x).reshape(B, S, H, D).transpose(0, 2, 1, 3)
+    v = _linear(p["to_v"], x).reshape(B, S, H, D).transpose(0, 2, 1, 3)
+
+    q = _layer_norm(q, cfg.qk_norm_eps, p["norm_q"])
+    k = _layer_norm(k, cfg.qk_norm_eps, p["norm_k"])
+
+    if rope is not None:
+        cos, sin = rope
+        q = jnp.concatenate(
+            [q[:, :, :text_len], apply_rotary(q[:, :, text_len:], cos, sin)], axis=2
+        )
+        k = jnp.concatenate(
+            [k[:, :, :text_len], apply_rotary(k[:, :, text_len:], cos, sin)], axis=2
+        )
+
+    out = full_attention(q, k, v, backend=backend)
+    out = out.transpose(0, 2, 1, 3).reshape(B, S, H * D)
+    out = _linear(p["to_out"], out)
+    return out[:, text_len:], out[:, :text_len]
+
+
+def _feed_forward(cfg: DiTConfig, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    h = _linear(p["net_0_proj"], x)
+    h = jax.nn.gelu(h, approximate=True)
+    return _linear(p["net_2"], h)
+
+
+def _block(
+    cfg: DiTConfig,
+    p: Params,
+    hidden: jnp.ndarray,
+    encoder: jnp.ndarray,
+    temb: jnp.ndarray,
+    rope: tuple[jnp.ndarray, jnp.ndarray] | None,
+    backend: str | None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    eps = cfg.norm_eps
+    # adaLN-zero #1 -> attention
+    shift, scale, gate, e_shift, e_scale, e_gate = _adaln_modulation(
+        p["norm1"], temb, 6
+    )
+    n_hidden = _layer_norm(hidden, eps, p["norm1"]["norm"]) * (1 + scale) + shift
+    n_encoder = _layer_norm(encoder, eps, p["norm1"]["norm"]) * (1 + e_scale) + e_shift
+    attn_h, attn_e = _attention(cfg, p["attn1"], n_hidden, n_encoder, rope, backend)
+    hidden = hidden + gate * attn_h
+    encoder = encoder + e_gate * attn_e
+
+    # adaLN-zero #2 -> feed-forward over the joint sequence
+    shift, scale, gate, e_shift, e_scale, e_gate = _adaln_modulation(
+        p["norm2"], temb, 6
+    )
+    n_hidden = _layer_norm(hidden, eps, p["norm2"]["norm"]) * (1 + scale) + shift
+    n_encoder = _layer_norm(encoder, eps, p["norm2"]["norm"]) * (1 + e_scale) + e_shift
+    ff = _feed_forward(cfg, p["ff"], jnp.concatenate([n_encoder, n_hidden], axis=1))
+    text_len = encoder.shape[1]
+    hidden = hidden + gate * ff[:, text_len:]
+    encoder = encoder + e_gate * ff[:, :text_len]
+    return hidden, encoder
+
+
+# ---------------------------------------------------------------------------
+# Full forward
+# ---------------------------------------------------------------------------
+
+def dit_forward(
+    params: Params,
+    cfg: DiTConfig,
+    latent: jnp.ndarray,
+    text_embeds: jnp.ndarray,
+    timestep: jnp.ndarray,
+    *,
+    attention_backend: str | None = None,
+    remat: bool = False,
+) -> jnp.ndarray:
+    """One DiT pass.
+
+    Args:
+      latent: [B, F, C, H, W] noisy latent, F divisible by patch_size_t.
+      text_embeds: [B, L_text, text_embed_dim] T5 features (pre-projection).
+      timestep: [B] int32 diffusion timesteps.
+    Returns:
+      velocity prediction, [B, F, C_out, H, W].
+    """
+    B, F, _, Hh, Ww = latent.shape
+    dtype = latent.dtype
+
+    # Timestep conditioning
+    t_feat = _timestep_embedding(
+        timestep, cfg.hidden_dim, cfg.flip_sin_to_cos, cfg.freq_shift
+    ).astype(dtype)
+    temb = _linear(params["time_embedding"]["linear_1"], t_feat)
+    temb = jax.nn.silu(temb)
+    temb = _linear(params["time_embedding"]["linear_2"], temb)
+
+    # Token embeddings
+    hidden = patchify(cfg, params["patch_embed"], latent)
+    encoder = _linear(params["patch_embed"]["text_proj"], text_embeds.astype(dtype))
+
+    if cfg.use_rotary_positional_embeddings:
+        pt = cfg.patch_size_t or 1
+        rope = rope_3d(
+            cfg.attention_head_dim,
+            F // pt,
+            Hh // cfg.patch_size,
+            Ww // cfg.patch_size,
+            cfg.rope_theta,
+        )
+    else:
+        rope = None
+        if "pos_embedding" in params["patch_embed"]:
+            pos = params["patch_embed"]["pos_embedding"]
+            joint = jnp.concatenate([encoder, hidden], axis=1)
+            joint = joint + pos[:, : joint.shape[1]].astype(dtype)
+            encoder, hidden = joint[:, : encoder.shape[1]], joint[:, encoder.shape[1]:]
+
+    # Scanned block stack
+    block_fn = _block
+    if remat:
+        block_fn = jax.checkpoint(
+            _block, policy=jax.checkpoint_policies.nothing_saveable, static_argnums=(0, 6)
+        )
+
+    def scan_body(carry, layer_params):
+        h, e = carry
+        h, e = block_fn(cfg, layer_params, h, e, temb, rope, attention_backend)
+        return (h, e), None
+
+    (hidden, encoder), _ = jax.lax.scan(scan_body, (hidden, encoder), params["blocks"])
+
+    # Final norm (+ adaLN) and projection
+    if cfg.use_rotary_positional_embeddings:
+        joint = jnp.concatenate([encoder, hidden], axis=1)
+        joint = _layer_norm(joint, cfg.norm_eps, params["norm_final"])
+        hidden = joint[:, encoder.shape[1]:]
+    else:
+        hidden = _layer_norm(hidden, cfg.norm_eps, params["norm_final"])
+
+    shift, scale = _adaln_modulation(params["norm_out"], temb, 2)
+    hidden = _layer_norm(hidden, cfg.norm_eps, params["norm_out"].get("norm")) * (
+        1 + scale
+    ) + shift
+    hidden = _linear(params["proj_out"], hidden)
+
+    return unpatchify(cfg, hidden, F, Hh, Ww)
+
+
+# ---------------------------------------------------------------------------
+# Initialization (random weights; released checkpoints load via weights.py)
+# ---------------------------------------------------------------------------
+
+def _init_linear(key, d_in: int, d_out: int, bias: bool = True, dtype=jnp.float32, scale: float | None = None) -> Params:
+    k = scale if scale is not None else (1.0 / math.sqrt(d_in))
+    p = {"kernel": jax.random.uniform(key, (d_in, d_out), dtype, -k, k)}
+    if bias:
+        p["bias"] = jnp.zeros((d_out,), dtype)
+    return p
+
+
+def _init_ln(dim: int, dtype=jnp.float32) -> Params:
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def init_dit_params(key: jax.Array, cfg: DiTConfig, dtype=jnp.float32) -> Params:
+    """Random parameter tree with the exact structure the loader produces."""
+    dim = cfg.hidden_dim
+    pt = cfg.patch_size_t
+    keys = iter(jax.random.split(key, 16 + cfg.num_layers * 16))
+
+    def nk():
+        return next(keys)
+
+    if pt is None:
+        proj = {
+            "kernel": jax.random.normal(
+                nk(), (cfg.patch_size, cfg.patch_size, cfg.in_channels, dim), dtype
+            ) * 0.02,
+            "bias": jnp.zeros((dim,), dtype),
+        }
+    else:
+        proj = _init_linear(
+            nk(), cfg.in_channels * pt * cfg.patch_size**2, dim, cfg.patch_bias, dtype
+        )
+
+    patch_embed: Params = {
+        "proj": proj,
+        "text_proj": _init_linear(nk(), cfg.text_embed_dim, dim, True, dtype),
+    }
+    if not cfg.use_rotary_positional_embeddings:
+        # Fixed 3D sincos table over the full sample grid (text part zeros).
+        from dove_tpu.ops.sincos import get_3d_sincos_pos_embed
+
+        t_frames = (cfg.sample_frames - 1) // cfg.temporal_compression_ratio + 1
+        pos = get_3d_sincos_pos_embed(
+            dim,
+            cfg.sample_width // cfg.patch_size,
+            cfg.sample_height // cfg.patch_size,
+            t_frames,
+            cfg.spatial_interpolation_scale,
+            cfg.temporal_interpolation_scale,
+        ).reshape(1, -1, dim)
+        text_zeros = jnp.zeros((1, cfg.max_text_seq_length, dim), jnp.float32)
+        patch_embed["pos_embedding"] = jnp.concatenate(
+            [text_zeros, jnp.asarray(pos, jnp.float32)], axis=1
+        ).astype(dtype)
+
+    def init_block(k):
+        ks = jax.random.split(k, 8)
+        return {
+            "norm1": {"linear": _init_linear(ks[0], cfg.time_embed_dim, 6 * dim, True, dtype),
+                      "norm": _init_ln(dim, dtype)},
+            "attn1": {
+                "to_q": _init_linear(ks[1], dim, dim, cfg.attention_bias, dtype),
+                "to_k": _init_linear(ks[2], dim, dim, cfg.attention_bias, dtype),
+                "to_v": _init_linear(ks[3], dim, dim, cfg.attention_bias, dtype),
+                "to_out": _init_linear(ks[4], dim, dim, True, dtype),
+                "norm_q": _init_ln(cfg.attention_head_dim, dtype),
+                "norm_k": _init_ln(cfg.attention_head_dim, dtype),
+            },
+            "norm2": {"linear": _init_linear(ks[5], cfg.time_embed_dim, 6 * dim, True, dtype),
+                      "norm": _init_ln(dim, dtype)},
+            "ff": {
+                "net_0_proj": _init_linear(ks[6], dim, cfg.ff_dim, True, dtype),
+                "net_2": _init_linear(ks[7], cfg.ff_dim, dim, True, dtype),
+            },
+        }
+
+    block_keys = jax.random.split(nk(), cfg.num_layers)
+    blocks = [init_block(k) for k in block_keys]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+    out_dim = cfg.out_channels * (pt or 1) * cfg.patch_size**2
+    return {
+        "patch_embed": patch_embed,
+        "time_embedding": {
+            "linear_1": _init_linear(nk(), dim, cfg.time_embed_dim, True, dtype),
+            "linear_2": _init_linear(nk(), cfg.time_embed_dim, cfg.time_embed_dim, True, dtype),
+        },
+        "blocks": stacked,
+        "norm_final": _init_ln(dim, dtype),
+        "norm_out": {
+            "linear": _init_linear(nk(), cfg.time_embed_dim, 2 * dim, True, dtype),
+            "norm": _init_ln(dim, dtype),
+        },
+        "proj_out": _init_linear(nk(), dim, out_dim, True, dtype),
+    }
+
+
+def param_count(params: Params) -> int:
+    return sum(x.size for x in jax.tree.leaves(params))

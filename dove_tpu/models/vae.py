@@ -1,0 +1,433 @@
+"""CogVideoX 3D causal VAE — TPU-native JAX implementation.
+
+Capability-equivalent to diffusers' ``AutoencoderKLCogVideoX`` as used by the
+reference (encode at lora_one_s1_trainer.py:65-70, decode at
+inference_script.py:500, slicing/tiling at :643-645; SURVEY.md §2.2):
+
+  * 8x spatial / 4x temporal compression, 16 latent channels;
+  * *causal* 3D convs: temporal receptive field only looks backwards — the
+    first frame of a clip is replicated as left-padding, and chunked
+    processing threads an explicit ``conv cache`` (the trailing k_t-1 input
+    frames of every causal conv) between chunks so chunked and whole-clip
+    results are identical;
+  * frame-chunked encode/decode ("slicing") and spatially tiled
+    encode/decode with feathered blending ("tiling") for memory control.
+
+TPU-first design decisions:
+  * NDHWC ([B, F, H, W, C]) activation layout — channels-last keeps the
+    channel dim on the 128-lane axis for MXU-friendly convolutions;
+  * norms in fp32, convs in model dtype (bf16 on TPU);
+  * the conv cache is a flat {path: array} dict, a stable pytree so the
+    per-chunk functions jit cleanly (first chunk and steady-state chunk are
+    two compiled shapes);
+  * static shapes per (chunk_frames, tile_h, tile_w) geometry.
+
+Parameter tree mirrors diffusers checkpoint naming (see dove_tpu/weights.py);
+kernels are stored DHWIO.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from dove_tpu.config import VAEConfig
+
+Params = dict[str, Any]
+Cache = dict[str, jnp.ndarray]
+
+
+# ---------------------------------------------------------------------------
+# Primitives
+# ---------------------------------------------------------------------------
+
+def _conv3d(p: Params, x: jnp.ndarray, strides=(1, 1, 1), padding="VALID") -> jnp.ndarray:
+    """x: [B, F, H, W, C]; kernel: [kD, kH, kW, Cin, Cout]."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["kernel"].astype(x.dtype),
+        window_strides=strides,
+        padding=padding,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def _conv2d(p: Params, x: jnp.ndarray, strides=(1, 1), padding="VALID") -> jnp.ndarray:
+    """Per-frame 2D conv: x [B, F, H, W, C], kernel [kH, kW, Cin, Cout]."""
+    B, F = x.shape[:2]
+    y = jax.lax.conv_general_dilated(
+        x.reshape((B * F,) + x.shape[2:]),
+        p["kernel"].astype(x.dtype),
+        window_strides=strides,
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y.reshape((B, F) + y.shape[1:])
+
+
+def causal_conv3d(
+    p: Params, x: jnp.ndarray, cache: jnp.ndarray | None
+) -> tuple[jnp.ndarray, jnp.ndarray | None]:
+    """Causal 3D conv: temporal left-context from cache (or first-frame
+    replicate at clip start), symmetric zero spatial padding.
+
+    Returns (output, new_cache) where new_cache holds the trailing k_t-1
+    input frames for the next chunk.
+    """
+    kt, kh, kw = p["kernel"].shape[:3]
+    if kt > 1:
+        if cache is None:
+            left = jnp.repeat(x[:, :1], kt - 1, axis=1)
+        else:
+            left = cache.astype(x.dtype)
+        x = jnp.concatenate([left, x], axis=1)
+        new_cache = x[:, -(kt - 1):]
+    else:
+        new_cache = None
+    pad_h, pad_w = (kh - 1) // 2, (kw - 1) // 2
+    return (
+        _conv3d(p, x, padding=((0, 0), (pad_h, pad_h), (pad_w, pad_w))),
+        new_cache,
+    )
+
+
+def _group_norm(p: Params, x: jnp.ndarray, groups: int, eps: float) -> jnp.ndarray:
+    B, F, H, W, C = x.shape
+    xf = x.astype(jnp.float32).reshape(B, F, H, W, groups, C // groups)
+    mean = xf.mean(axis=(1, 2, 3, 5), keepdims=True)
+    var = xf.var(axis=(1, 2, 3, 5), keepdims=True)
+    y = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(B, F, H, W, C)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _nearest_resize(x: jnp.ndarray, f: int, h: int, w: int) -> jnp.ndarray:
+    """Integer-factor nearest upsampling of [B, F, H, W, C] to (f, h, w)."""
+    B, F, H, W, C = x.shape
+    assert f % F == 0 and h % H == 0 and w % W == 0, (x.shape, (f, h, w))
+    if f != F:
+        x = jnp.repeat(x, f // F, axis=1)
+    if h != H:
+        x = jnp.repeat(x, h // H, axis=2)
+    if w != W:
+        x = jnp.repeat(x, w // W, axis=3)
+    return x
+
+
+def _spatial_norm3d(
+    p: Params, x: jnp.ndarray, zq: jnp.ndarray, groups: int, eps: float
+) -> jnp.ndarray:
+    """GroupNorm(x) modulated by conv_y/conv_b of the (nearest-upsampled) latent.
+
+    The first frame is resized separately when x has odd temporal length > 1,
+    matching the causal first-frame convention.
+    """
+    B, F, H, W, C = x.shape
+    if F > 1 and F % 2 == 1:
+        zf = _nearest_resize(zq[:, :1], 1, H, W)
+        zr = _nearest_resize(zq[:, 1:], F - 1, H, W)
+        zq = jnp.concatenate([zf, zr], axis=1)
+    else:
+        zq = _nearest_resize(zq, F, H, W)
+    normed = _group_norm(p["norm_layer"], x, groups, eps)
+    conv_y, _ = causal_conv3d(p["conv_y"], zq, None)
+    conv_b, _ = causal_conv3d(p["conv_b"], zq, None)
+    return normed * conv_y + conv_b
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+def _resnet(
+    cfg: VAEConfig,
+    p: Params,
+    x: jnp.ndarray,
+    zq: jnp.ndarray | None,
+    cache: Cache,
+    new_cache: Cache,
+    path: str,
+) -> jnp.ndarray:
+    def norm(name: str, h: jnp.ndarray) -> jnp.ndarray:
+        if zq is None:
+            return _group_norm(p[name], h, cfg.norm_num_groups, cfg.norm_eps)
+        return _spatial_norm3d(p[name], h, zq, cfg.norm_num_groups, cfg.norm_eps)
+
+    h = jax.nn.silu(norm("norm1", x))
+    h, new_cache[f"{path}.conv1"] = causal_conv3d(
+        p["conv1"], h, cache.get(f"{path}.conv1")
+    )
+    h = jax.nn.silu(norm("norm2", h))
+    h, new_cache[f"{path}.conv2"] = causal_conv3d(
+        p["conv2"], h, cache.get(f"{path}.conv2")
+    )
+    if "conv_shortcut" in p:
+        x = _conv3d(p["conv_shortcut"], x, padding=((0, 0), (0, 0), (0, 0)))
+    return x + h
+
+
+def _downsample(p: Params, x: jnp.ndarray, compress_time: bool) -> jnp.ndarray:
+    """Spatial stride-2 conv with (0,1) asymmetric pad; optional 2x temporal
+    mean-pool with causal first-frame passthrough on odd lengths."""
+    if compress_time:
+        B, F, H, W, C = x.shape
+        if F % 2 == 1:
+            first, rest = x[:, :1], x[:, 1:]
+            if rest.shape[1] > 0:
+                rest = rest.reshape(B, rest.shape[1] // 2, 2, H, W, C).mean(axis=2)
+            x = jnp.concatenate([first, rest], axis=1)
+        else:
+            x = x.reshape(B, F // 2, 2, H, W, C).mean(axis=2)
+    pad = ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0))
+    x = jnp.pad(x, pad)
+    return _conv2d(p["conv"], x, strides=(2, 2))
+
+
+def _upsample(p: Params, x: jnp.ndarray, compress_time: bool) -> jnp.ndarray:
+    """2x nearest upsample (spatial, and temporal when compress_time) + conv."""
+    B, F, H, W, C = x.shape
+    if compress_time:
+        if F > 1 and F % 2 == 1:
+            first = _nearest_resize(x[:, :1], 1, H * 2, W * 2)
+            rest = _nearest_resize(x[:, 1:], (F - 1) * 2, H * 2, W * 2)
+            x = jnp.concatenate([first, rest], axis=1)
+        elif F > 1:
+            x = _nearest_resize(x, F * 2, H * 2, W * 2)
+        else:
+            x = _nearest_resize(x, 1, H * 2, W * 2)
+    else:
+        x = _nearest_resize(x, F, H * 2, W * 2)
+    return _conv2d(p["conv"], x, padding=((1, 1), (1, 1)))
+
+
+# ---------------------------------------------------------------------------
+# Encoder / Decoder (single chunk, cache-threaded)
+# ---------------------------------------------------------------------------
+
+def encoder_forward(
+    cfg: VAEConfig, params: Params, x: jnp.ndarray, cache: Cache | None
+) -> tuple[jnp.ndarray, Cache]:
+    """Pixels [B, F, H, W, 3] -> moments [B, F', H/8, W/8, 2*latent]."""
+    cache = cache or {}
+    nc: Cache = {}
+    h, nc["conv_in"] = causal_conv3d(params["conv_in"], x, cache.get("conv_in"))
+
+    n_blocks = len(cfg.block_out_channels)
+    for i in range(n_blocks):
+        bp = params["down_blocks"][i]
+        for j in range(cfg.layers_per_block):
+            h = _resnet(
+                cfg, bp["resnets"][j], h, None, cache, nc, f"down.{i}.res.{j}"
+            )
+        if i < n_blocks - 1:
+            h = _downsample(bp["downsampler"], h, i < cfg.temporal_compress_level)
+
+    for j in range(2):
+        h = _resnet(cfg, params["mid_block"]["resnets"][j], h, None, cache, nc, f"mid.{j}")
+
+    h = jax.nn.silu(_group_norm(params["norm_out"], h, cfg.norm_num_groups, cfg.norm_eps))
+    h, nc["conv_out"] = causal_conv3d(params["conv_out"], h, cache.get("conv_out"))
+    return h, nc
+
+
+def decoder_forward(
+    cfg: VAEConfig, params: Params, z: jnp.ndarray, cache: Cache | None
+) -> tuple[jnp.ndarray, Cache]:
+    """Latent [B, F', H/8, W/8, latent] -> pixels [B, F, H, W, 3] in [-1, 1]."""
+    cache = cache or {}
+    nc: Cache = {}
+    h, nc["conv_in"] = causal_conv3d(params["conv_in"], z, cache.get("conv_in"))
+
+    for j in range(2):
+        h = _resnet(cfg, params["mid_block"]["resnets"][j], h, z, cache, nc, f"mid.{j}")
+
+    n_blocks = len(cfg.block_out_channels)
+    for i in range(n_blocks):
+        bp = params["up_blocks"][i]
+        for j in range(cfg.layers_per_block + 1):
+            h = _resnet(cfg, bp["resnets"][j], h, z, cache, nc, f"up.{i}.res.{j}")
+        if i < n_blocks - 1:
+            h = _upsample(bp["upsampler"], h, i < cfg.temporal_compress_level)
+
+    h = jax.nn.silu(
+        _spatial_norm3d(params["norm_out"], h, z, cfg.norm_num_groups, cfg.norm_eps)
+    )
+    h, nc["conv_out"] = causal_conv3d(params["conv_out"], h, cache.get("conv_out"))
+    return h, nc
+
+
+# ---------------------------------------------------------------------------
+# Frame-chunked ("sliced") encode / decode
+# ---------------------------------------------------------------------------
+
+def _frame_chunks(num_frames: int, batch: int) -> list[tuple[int, int]]:
+    """Chunk layout: the F % batch remainder rides with the FIRST chunk, so
+    the first chunk carries the causal odd frame ((F-1) % 4 == 0 inputs)."""
+    num_batches = max(num_frames // batch, 1)
+    rem = num_frames % batch
+    spans = []
+    for i in range(num_batches):
+        start = batch * i + (0 if i == 0 else rem)
+        end = batch * (i + 1) + rem
+        spans.append((start, min(end, num_frames)))
+    return spans
+
+
+def encode_moments(
+    cfg: VAEConfig, params: Params, video: jnp.ndarray, chunk_frames: int | None = None
+) -> jnp.ndarray:
+    """Full-clip encode with frame chunking. video: [B, F, H, W, 3] in [-1,1]."""
+    chunk = chunk_frames or cfg.sample_frames_batch_size
+    cache: Cache | None = None
+    outs = []
+    for s, e in _frame_chunks(video.shape[1], chunk):
+        m, cache = encoder_forward(cfg, params["encoder"], video[:, s:e], cache)
+        outs.append(m)
+    return jnp.concatenate(outs, axis=1)
+
+
+def sample_latent(
+    moments: jnp.ndarray, rng: jax.Array | None, scaling_factor: float
+) -> jnp.ndarray:
+    """Diagonal-Gaussian sample (or mean when rng is None), scaled."""
+    mean, logvar = jnp.split(moments, 2, axis=-1)
+    if rng is not None:
+        logvar = jnp.clip(logvar, -30.0, 20.0)
+        std = jnp.exp(0.5 * logvar.astype(jnp.float32))
+        mean = mean + (std * jax.random.normal(rng, std.shape, jnp.float32)).astype(
+            mean.dtype
+        )
+    return mean * jnp.asarray(scaling_factor, mean.dtype)
+
+
+def decode(
+    cfg: VAEConfig, params: Params, latent: jnp.ndarray, chunk_frames: int | None = None
+) -> jnp.ndarray:
+    """Full-clip decode with latent-frame chunking. latent: [B, F', h, w, C]
+    already divided by scaling_factor."""
+    chunk = chunk_frames or cfg.latent_frames_batch_size
+    cache: Cache | None = None
+    outs = []
+    for s, e in _frame_chunks(latent.shape[1], chunk):
+        y, cache = decoder_forward(cfg, params["decoder"], latent[:, s:e], cache)
+        outs.append(y)
+    return jnp.concatenate(outs, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Initialization (random weights; checkpoints load via weights.py)
+# ---------------------------------------------------------------------------
+
+def _init_conv(key, kt, kh, kw, cin, cout, dtype=jnp.float32) -> Params:
+    fan_in = kt * kh * kw * cin
+    k = 1.0 / math.sqrt(fan_in)
+    return {
+        "kernel": jax.random.uniform(key, (kt, kh, kw, cin, cout), dtype, -k, k),
+        "bias": jnp.zeros((cout,), dtype),
+    }
+
+
+def _init_conv2d(key, kh, kw, cin, cout, dtype=jnp.float32) -> Params:
+    k = 1.0 / math.sqrt(kh * kw * cin)
+    return {
+        "kernel": jax.random.uniform(key, (kh, kw, cin, cout), dtype, -k, k),
+        "bias": jnp.zeros((cout,), dtype),
+    }
+
+
+def _init_gn(ch: int, dtype=jnp.float32) -> Params:
+    return {"scale": jnp.ones((ch,), dtype), "bias": jnp.zeros((ch,), dtype)}
+
+
+def _init_resnet(key, cin, cout, zq_ch: int | None, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, 7)
+
+    def norm(k, ch):
+        if zq_ch is None:
+            return _init_gn(ch, dtype)
+        return {
+            "norm_layer": _init_gn(ch, dtype),
+            "conv_y": _init_conv(k, 1, 1, 1, zq_ch, ch, dtype),
+            "conv_b": _init_conv(jax.random.fold_in(k, 1), 1, 1, 1, zq_ch, ch, dtype),
+        }
+
+    p = {
+        "norm1": norm(ks[0], cin),
+        "conv1": _init_conv(ks[1], 3, 3, 3, cin, cout, dtype),
+        "norm2": norm(ks[2], cout),
+        "conv2": _init_conv(ks[3], 3, 3, 3, cout, cout, dtype),
+    }
+    if cin != cout:
+        p["conv_shortcut"] = _init_conv(ks[4], 1, 1, 1, cin, cout, dtype)
+    return p
+
+
+def init_vae_params(key: jax.Array, cfg: VAEConfig, dtype=jnp.float32) -> Params:
+    chans = cfg.block_out_channels
+    n = len(chans)
+    keys = iter(jax.random.split(key, 200))
+
+    def nk():
+        return next(keys)
+
+    # Encoder
+    down_blocks = []
+    cin = chans[0]
+    for i in range(n):
+        cout = chans[i]
+        resnets = []
+        for j in range(cfg.layers_per_block):
+            resnets.append(_init_resnet(nk(), cin if j == 0 else cout, cout, None, dtype))
+        bp: Params = {"resnets": resnets}
+        if i < n - 1:
+            bp["downsampler"] = {"conv": _init_conv2d(nk(), 3, 3, cout, cout, dtype)}
+        down_blocks.append(bp)
+        cin = cout
+    encoder = {
+        "conv_in": _init_conv(nk(), 3, 3, 3, cfg.in_channels, chans[0], dtype),
+        "down_blocks": down_blocks,
+        "mid_block": {
+            "resnets": [_init_resnet(nk(), chans[-1], chans[-1], None, dtype) for _ in range(2)]
+        },
+        "norm_out": _init_gn(chans[-1], dtype),
+        "conv_out": _init_conv(nk(), 3, 3, 3, chans[-1], 2 * cfg.latent_channels, dtype),
+    }
+
+    # Decoder
+    rev = list(reversed(chans))
+    zq = cfg.latent_channels
+    up_blocks = []
+    cin = rev[0]
+    for i in range(n):
+        cout = rev[i]
+        resnets = []
+        for j in range(cfg.layers_per_block + 1):
+            resnets.append(_init_resnet(nk(), cin if j == 0 else cout, cout, zq, dtype))
+        bp = {"resnets": resnets}
+        if i < n - 1:
+            bp["upsampler"] = {"conv": _init_conv2d(nk(), 3, 3, cout, cout, dtype)}
+        up_blocks.append(bp)
+        cin = cout
+    decoder = {
+        "conv_in": _init_conv(nk(), 3, 3, 3, cfg.latent_channels, rev[0], dtype),
+        "mid_block": {
+            "resnets": [_init_resnet(nk(), rev[0], rev[0], zq, dtype) for _ in range(2)]
+        },
+        "up_blocks": up_blocks,
+        "norm_out": {
+            "norm_layer": _init_gn(rev[-1], dtype),
+            "conv_y": _init_conv(nk(), 1, 1, 1, zq, rev[-1], dtype),
+            "conv_b": _init_conv(nk(), 1, 1, 1, zq, rev[-1], dtype),
+        },
+        "conv_out": _init_conv(nk(), 3, 3, 3, rev[-1], cfg.out_channels, dtype),
+    }
+
+    return {"encoder": encoder, "decoder": decoder}

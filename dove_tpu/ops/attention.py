@@ -1,0 +1,59 @@
+"""Joint text-video attention for the CogVideoX DiT.
+
+The DiT concatenates [text_tokens, video_tokens] into one sequence and runs
+full (non-causal) self-attention with per-head LayerNorm on q/k and rotary
+embeddings applied only to the video segment (reference behavior via
+diffusers' CogVideoXAttnProcessor; SURVEY.md §2.2).
+
+Backends:
+  * "xla":   fp32-softmax einsum attention. Exact, O(S^2) memory; fine for
+             small/medium tiles and as the CPU test oracle.
+  * "flash": custom Pallas TPU flash attention (dove_tpu/ops/pallas), O(S)
+             memory — required for 720p tiles where S ~ 18k and a naive
+             logits matrix would not fit HBM.
+Selection is automatic (flash on TPU for long sequences) but overridable.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _naive_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """q,k,v: [B, H, S, D]. fp32 logits + softmax, output in input dtype."""
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    probs = jax.nn.softmax(logits * scale, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(v.dtype)
+
+
+def _flash_available() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def full_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    backend: str | None = None,
+) -> jnp.ndarray:
+    """Full bidirectional attention. q,k,v: [B, H, S, D] -> [B, H, S, D]."""
+    if backend is None:
+        backend = "flash" if (_flash_available() and q.shape[-2] >= 2048) else "xla"
+    if backend == "flash":
+        from dove_tpu.ops.pallas.flash_attention import flash_attention
+
+        return flash_attention(q, k, v)
+    if backend == "xla":
+        return _naive_attention(q, k, v)
+    raise ValueError(f"unknown attention backend: {backend}")

@@ -1,0 +1,185 @@
+"""DOVE one-step video super-resolution pipeline — the product.
+
+The whole per-tile computation — VAE encode, latent patch_size_t padding,
+optional noise injection, one DiT pass at the fixed SR timestep, the
+velocity->x0 one-step denoise, and VAE decode — is fused into a SINGLE jitted
+function compiled once per tile geometry (reference flow:
+/root/reference/inference_script.py:394-503; SURVEY.md §3.1). The host side
+handles video decode, padding, x4 pre-upscale, the overlapping tile plan, and
+exact-coverage stitching (dove_tpu/tiling.py).
+
+Multi-chip serving shards the tile work-list over a data mesh axis
+(dove_tpu/parallel) — tiles are independent, so no cross-chip communication
+happens inside the model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dove_tpu import tiling
+from dove_tpu.config import PipelineConfig
+from dove_tpu.io import video as video_io
+from dove_tpu.models import vae as vae_mod
+from dove_tpu.models.dit import dit_forward
+from dove_tpu.ops.scheduler import Schedule
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class DovePipeline:
+    """One-step 4x VSR with temporal chunking + spatial tiling."""
+
+    config: PipelineConfig
+    dit_params: Any
+    vae_params: Any
+    prompt_embedding: jnp.ndarray  # [L_text, text_embed_dim] (empty prompt)
+    dtype: Any = jnp.bfloat16
+    attention_backend: str | None = None
+    sample_posterior: bool = True  # reference samples latent_dist at inference
+    donate_input: bool = True
+
+    def __post_init__(self):
+        self.schedule = Schedule.create(self.config.scheduler)
+        self._compiled: dict[tuple, Callable] = {}
+
+    # ------------------------------------------------------------------
+    # Device-side one-step SR for a single tile
+    # ------------------------------------------------------------------
+
+    def _sr_tile_fn(self) -> Callable:
+        cfg = self.config
+
+        def sr_tile(
+            dit_params: Any,
+            vae_params: Any,
+            prompt_embedding: jnp.ndarray,
+            tile: jnp.ndarray,  # [B, F, H, W, 3] in [-1, 1], model dtype
+            rng: jax.Array,
+        ) -> jnp.ndarray:
+            B = tile.shape[0]
+            enc_rng, noise_rng = jax.random.split(rng)
+
+            # VAE encode (frame-chunked inside; causal cache threaded)
+            moments = vae_mod.encode_moments(cfg.vae, vae_params, tile)
+            latent = vae_mod.sample_latent(
+                moments,
+                enc_rng if self.sample_posterior else None,
+                cfg.vae.scaling_factor,
+            )  # [B, F', h, w, C]
+
+            # patch_size_t alignment: prepend copies of the first latent frame
+            pt = cfg.dit.patch_size_t
+            ncopy = 0
+            if pt is not None:
+                ncopy = latent.shape[1] % pt
+                if ncopy:
+                    first = jnp.repeat(latent[:, :1], ncopy, axis=1)
+                    latent = jnp.concatenate([first, latent], axis=1)
+
+            # [B, F', h, w, C] -> [B, F', C, h, w] (DiT convention)
+            z = jnp.transpose(latent, (0, 1, 4, 2, 3))
+
+            t_sr = jnp.full((B,), cfg.sr_noise_step, jnp.int32)
+            if cfg.noise_step != 0:
+                noise = jax.random.normal(noise_rng, z.shape, jnp.float32).astype(z.dtype)
+                t_add = jnp.full((B,), cfg.noise_step, jnp.int32)
+                z = self.schedule.add_noise(z, noise, t_add)
+
+            text = jnp.broadcast_to(
+                prompt_embedding[None], (B,) + prompt_embedding.shape
+            )
+            v_pred = dit_forward(
+                dit_params, cfg.dit, z, text, t_sr,
+                attention_backend=self.attention_backend,
+            )
+            x0 = self.schedule.velocity_to_x0(v_pred, z, t_sr)
+
+            if ncopy:
+                x0 = x0[:, ncopy:]
+
+            # [B, F', C, h, w] -> [B, F', h, w, C], unscale, decode
+            x0 = jnp.transpose(x0, (0, 1, 3, 4, 2))
+            x0 = x0 / jnp.asarray(cfg.vae.scaling_factor, x0.dtype)
+            pixels = vae_mod.decode(cfg.vae, vae_params, x0)
+            return jnp.clip(pixels.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
+
+        return sr_tile
+
+    def compiled_sr(self, shape: tuple) -> Callable:
+        """jit-compiled sr_tile for a given [B, F, H, W, 3] tile shape."""
+        if shape not in self._compiled:
+            fn = jax.jit(
+                self._sr_tile_fn(),
+                donate_argnums=(3,) if self.donate_input else (),
+            )
+            self._compiled[shape] = fn
+        return self._compiled[shape]
+
+    # ------------------------------------------------------------------
+    # Host-side driver for one clip
+    # ------------------------------------------------------------------
+
+    def process_frames(
+        self,
+        frames: np.ndarray,  # [F, H, W, 3] float32 in [0, 1] (LQ input)
+        *,
+        upscale: int | None = None,
+        chunk_len: int = 0,
+        tile_size_hw: tuple[int, int] = (0, 0),
+        overlap_t: int = 8,
+        overlap_hw: tuple[int, int] = (32, 32),
+        seed: int = 42,
+    ) -> np.ndarray:
+        """Full one-step SR of a clip -> [F, H*s, W*s, 3] float32 in [0, 1]."""
+        upscale = self.config.upscale if upscale is None else upscale
+        padded, (pad_f, pad_h, pad_w) = tiling.pad_video(frames)
+        up = video_io.bilinear_upscale(padded, upscale)
+        up = up * 2.0 - 1.0  # [-1, 1]
+
+        F, H, W, _ = up.shape
+        tiles = tiling.plan_tiles(
+            F, H, W, chunk_len, tile_size_hw, overlap_t, overlap_hw
+        )
+        effective_ot = overlap_t if chunk_len > 0 else 0
+        geoms = tiling.tile_geometries(tiles)
+        logger.info(
+            "clip: %d frames %dx%d -> %d tiles, %d geometries %s",
+            F, H, W, len(tiles), len(geoms), sorted(geoms),
+        )
+
+        stitcher = tiling.Stitcher(3, F, H, W, effective_ot, overlap_hw)
+        rng = jax.random.PRNGKey(seed)
+        for i, t in enumerate(tiles):
+            data = up[t.t_start : t.t_end, t.h_start : t.h_end, t.w_start : t.w_end]
+            tile_dev = jnp.asarray(data[None], self.dtype)
+            rng, step_rng = jax.random.split(rng)
+            fn = self.compiled_sr(tile_dev.shape)
+            out = fn(
+                self.dit_params, self.vae_params, self.prompt_embedding,
+                tile_dev, step_rng,
+            )
+            out_np = np.asarray(out[0], np.float32)  # [f, h, w, 3]
+            stitcher.add(t, out_np.transpose(3, 0, 1, 2))
+
+        result = stitcher.finalize()  # [3, F, H, W]
+        result = tiling.unpad_video(result, pad_f, pad_h * upscale, pad_w * upscale)
+        return result.transpose(1, 2, 3, 0)  # [F, H, W, 3]
+
+    def process_video_file(
+        self, path: str | Path, **kwargs
+    ) -> np.ndarray:
+        frames = video_io.read_video_frames(path)
+        t0 = time.time()
+        out = self.process_frames(frames, **kwargs)
+        logger.info("processed %s in %.2fs", path, time.time() - t0)
+        return out

@@ -1,0 +1,138 @@
+"""Training losses for the two DOVE fine-tuning stages.
+
+Stage 1 (latent): MSE between the one-step x-hat_0 latent and the HQ latent
+(reference: lora_one_s1_trainer.py:116-209). Stage 2 (pixel): decode x-hat_0
+frame-by-frame WITH gradients and combine pixel MSE + perceptual (DISTS/LPIPS,
+optionally edge-weighted) + temporal frame-difference L1
+(reference: lora_one_s2_trainer.py:124-297).
+
+All functions are pure: (params, batch, rngs) -> (loss, aux dict), composable
+under jit/grad/remat and mesh shardings.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from dove_tpu.config import PipelineConfig
+from dove_tpu.models import vae as vae_mod
+from dove_tpu.models.dit import dit_forward
+from dove_tpu.ops.scheduler import Schedule
+
+
+def one_step_x0_latent(
+    cfg: PipelineConfig,
+    schedule: Schedule,
+    dit_params: Any,
+    lq_latent: jnp.ndarray,  # [B, F', h, w, C] scaled latent
+    text_embeds: jnp.ndarray,  # [B, L, text_dim]
+    rng: jax.Array | None,
+    remat: bool = True,
+    attention_backend: str | None = None,
+) -> jnp.ndarray:
+    """Shared one-step denoise core: returns x-hat_0 in [B, F', h, w, C]
+    (patch_size_t padding applied and stripped internally)."""
+    B = lq_latent.shape[0]
+    pt = cfg.dit.patch_size_t
+    ncopy = 0
+    if pt is not None:
+        ncopy = lq_latent.shape[1] % pt
+        if ncopy:
+            first = jnp.repeat(lq_latent[:, :1], ncopy, axis=1)
+            lq_latent = jnp.concatenate([first, lq_latent], axis=1)
+
+    z = jnp.transpose(lq_latent, (0, 1, 4, 2, 3))  # -> [B, F, C, h, w]
+
+    if cfg.noise_step != 0 and rng is not None:
+        noise = jax.random.normal(rng, z.shape, jnp.float32).astype(z.dtype)
+        t_add = jnp.full((B,), cfg.noise_step, jnp.int32)
+        z = schedule.add_noise(z, noise, t_add)
+
+    t_sr = jnp.full((B,), cfg.sr_noise_step, jnp.int32)
+    v_pred = dit_forward(
+        dit_params, cfg.dit, z, text_embeds, t_sr,
+        remat=remat, attention_backend=attention_backend,
+    )
+    x0 = schedule.velocity_to_x0(v_pred, z, t_sr)
+    if ncopy:
+        x0 = x0[:, ncopy:]
+    return jnp.transpose(x0, (0, 1, 3, 4, 2))  # -> [B, F', h, w, C]
+
+
+def stage1_loss(
+    cfg: PipelineConfig,
+    schedule: Schedule,
+    dit_params: Any,
+    batch: dict[str, jnp.ndarray],
+    rng: jax.Array,
+    **fwd_kwargs,
+) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
+    """Latent-space MSE. batch: lq_latent/hq_latent [B, F', h, w, C] (already
+    VAE-encoded and scaled), prompt_embeds [B, L, text_dim]."""
+    x0 = one_step_x0_latent(
+        cfg, schedule, dit_params, batch["lq_latent"], batch["prompt_embeds"],
+        rng, **fwd_kwargs,
+    )
+    loss = jnp.mean(
+        (x0.astype(jnp.float32) - batch["hq_latent"].astype(jnp.float32)) ** 2
+    )
+    return loss, {"loss_mse": loss}
+
+
+def frame_difference_l1(video: jnp.ndarray) -> jnp.ndarray:
+    """Temporal difference map, [B, F-1, H, W, C]."""
+    return video[:, 1:] - video[:, :-1]
+
+
+def stage2_loss(
+    cfg: PipelineConfig,
+    schedule: Schedule,
+    dit_params: Any,
+    vae_params: Any,
+    batch: dict[str, jnp.ndarray],
+    rng: jax.Array,
+    *,
+    pixel_weight: float = 1.0,
+    perceptual_weight: float = 1.0,
+    frame_diff_weight: float = 1.0,
+    perceptual_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] | None = None,
+    **fwd_kwargs,
+) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
+    """Pixel-space composite loss. batch: lq_latent [B,F',h,w,C] (scaled),
+    hq_video [B, F, H, W, 3] in [-1,1], prompt_embeds.
+
+    The decode runs with gradients; callers should remat the decoder (handled
+    by the per-frame chunked decode being inside this traced fn).
+    """
+    x0 = one_step_x0_latent(
+        cfg, schedule, dit_params, batch["lq_latent"], batch["prompt_embeds"],
+        rng, **fwd_kwargs,
+    )
+    z = x0 / jnp.asarray(cfg.vae.scaling_factor, x0.dtype)
+    pred = vae_mod.decode(cfg.vae, vae_params, z)  # [B, F, H, W, 3], [-1,1]
+    hq = batch["hq_video"].astype(pred.dtype)
+
+    pf = pred.astype(jnp.float32)
+    hf = hq.astype(jnp.float32)
+
+    loss_pixel = jnp.mean((pf - hf) ** 2)
+    aux = {"loss_pixel": loss_pixel}
+    total = pixel_weight * loss_pixel
+
+    if perceptual_fn is not None and perceptual_weight > 0:
+        loss_perc = perceptual_fn(pf, hf)
+        aux["loss_perceptual"] = loss_perc
+        total = total + perceptual_weight * loss_perc
+
+    if frame_diff_weight > 0 and pred.shape[1] > 1:
+        loss_fd = jnp.mean(
+            jnp.abs(frame_difference_l1(pf) - frame_difference_l1(hf))
+        )
+        aux["loss_frame_diff"] = loss_fd
+        total = total + frame_diff_weight * loss_fd
+
+    aux["loss"] = total
+    return total, aux

@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""DOVE-TPU inference CLI — one-step 4x video super-resolution.
+
+Mirrors the reference CLI surface (/root/reference/inference_script.py:506-554)
+on the TPU-native pipeline:
+
+    python scripts/inference.py \
+        --input_dir datasets/demo --model_path <ckpt_dir> \
+        --output_path results --tile_size_hw 384 384 --chunk_len 16
+
+Without --model_path (or with --preset tiny) the pipeline runs with randomly
+initialized weights — useful for smoke runs and benchmarking on machines
+without the released checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="VSR using DOVE (TPU-native)")
+    p.add_argument("--input_dir", type=str, required=True)
+    p.add_argument("--input_json", type=str, default=None,
+                   help="JSON {video_name: prompt}; non-empty prompts need a T5 checkpoint")
+    p.add_argument("--gt_dir", type=str, default=None)
+    p.add_argument("--eval_metrics", type=str, default="",
+                   help="comma list, e.g. psnr,ssim")
+    p.add_argument("--model_path", type=str, default=None)
+    p.add_argument("--lora_path", type=str, default=None)
+    p.add_argument("--preset", type=str, default="cogvideox1.5-5b",
+                   choices=["cogvideox1.5-5b", "cogvideox-2b", "tiny"])
+    p.add_argument("--output_path", type=str, default="./results")
+    p.add_argument("--fps", type=int, default=16)
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["float16", "bfloat16", "float32"])
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--upscale_mode", type=str, default="bilinear")
+    p.add_argument("--upscale", type=int, default=4)
+    p.add_argument("--noise_step", type=int, default=0)
+    p.add_argument("--sr_noise_step", type=int, default=399)
+    p.add_argument("--is_cpu_offload", action="store_true",
+                   help="accepted for parity; TPU path relies on tiling instead")
+    p.add_argument("--is_vae_st", action="store_true",
+                   help="accepted for parity; VAE slicing is always on")
+    p.add_argument("--png_save", action="store_true")
+    p.add_argument("--save_format", type=str, default="yuv444p")
+    p.add_argument("--tile_size_hw", type=int, nargs=2, default=(0, 0))
+    p.add_argument("--overlap_hw", type=int, nargs=2, default=(32, 32))
+    p.add_argument("--chunk_len", type=int, default=0)
+    p.add_argument("--overlap_t", type=int, default=8)
+    return p
+
+
+def load_pipeline(args):
+    import dataclasses
+
+    from dove_tpu import config as cfg_mod
+    from dove_tpu.pipeline import DovePipeline
+
+    dtype = {"float16": jnp.float16, "bfloat16": jnp.bfloat16,
+             "float32": jnp.float32}[args.dtype]
+
+    if args.model_path:
+        cfg = cfg_mod.pipeline_config_from_pretrained(args.model_path)
+    elif args.preset == "tiny":
+        cfg = cfg_mod.tiny_test()
+    elif args.preset == "cogvideox-2b":
+        cfg = cfg_mod.cogvideox_2b()
+    else:
+        cfg = cfg_mod.cogvideox1_5_5b()
+    cfg = dataclasses.replace(
+        cfg, sr_noise_step=args.sr_noise_step, noise_step=args.noise_step,
+        upscale=args.upscale,
+    )
+
+    if args.model_path:
+        from dove_tpu import weights
+
+        dit_params = weights.load_dit(args.model_path, cfg.dit, dtype)
+        if args.lora_path:
+            lora_file = Path(args.lora_path)
+            if lora_file.is_dir():
+                lora_file = lora_file / "pytorch_lora_weights.safetensors"
+            from safetensors import safe_open
+
+            with safe_open(str(lora_file), framework="np") as fp:
+                lora = {k: fp.get_tensor(k) for k in fp.keys()}
+            dit_params = weights.fuse_lora_into_dit(dit_params, lora)
+            logging.info("fused LoRA weights from %s", lora_file)
+        vae_params = weights.load_vae(args.model_path, cfg.vae, dtype)
+    else:
+        logging.warning("no --model_path: using random weights (%s preset)", args.preset)
+        from dove_tpu.models.dit import init_dit_params
+        from dove_tpu.models.vae import init_vae_params
+
+        key = jax.random.PRNGKey(0)
+        dit_params = init_dit_params(key, cfg.dit, dtype)
+        vae_params = init_vae_params(jax.random.fold_in(key, 1), cfg.vae, dtype)
+
+    # Empty-prompt embedding: the shipped cache bypasses the T5 encoder.
+    emb_path = Path("pretrained_models/prompt_embeddings/"
+                    "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855.safetensors")
+    candidates = [emb_path, Path("/root/reference") / emb_path]
+    prompt_embedding = None
+    for c in candidates:
+        if c.exists():
+            from dove_tpu.weights import load_prompt_embedding
+
+            emb = load_prompt_embedding(c, dtype)
+            if emb.shape[-1] == cfg.dit.text_embed_dim:
+                prompt_embedding = emb[: cfg.dit.max_text_seq_length]
+                logging.info("loaded empty-prompt embedding from %s", c)
+            break
+    if prompt_embedding is None:
+        prompt_embedding = jnp.zeros(
+            (cfg.dit.max_text_seq_length, cfg.dit.text_embed_dim), dtype
+        )
+
+    return DovePipeline(
+        config=cfg, dit_params=dit_params, vae_params=vae_params,
+        prompt_embedding=prompt_embedding, dtype=dtype,
+    )
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    args = build_parser().parse_args(argv)
+
+    from dove_tpu.eval.metrics import MetricAccumulator
+    from dove_tpu.io import video as video_io
+
+    videos = video_io.list_videos(args.input_dir)
+    if not videos:
+        raise SystemExit(f"No video files found in {args.input_dir}")
+
+    out_dir = Path(args.output_path)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    pipe = load_pipeline(args)
+
+    metric_names = [m.strip() for m in args.eval_metrics.split(",") if m.strip()]
+    accumulator = MetricAccumulator(metric_names) if metric_names else None
+
+    for vpath in videos:
+        t0 = time.time()
+        out = pipe.process_video_file(
+            vpath,
+            upscale=args.upscale,
+            chunk_len=args.chunk_len,
+            tile_size_hw=tuple(args.tile_size_hw),
+            overlap_t=args.overlap_t,
+            overlap_hw=tuple(args.overlap_hw),
+            seed=args.seed,
+        )
+        dt = time.time() - t0
+        logging.info("%s: %s in %.2fs (%.2f frames/s)",
+                     vpath.name, out.shape, dt, out.shape[0] / dt)
+
+        if accumulator is not None:
+            gt = None
+            if args.gt_dir:
+                gt = video_io.load_sequence(Path(args.gt_dir) / vpath.name)
+            accumulator.add(vpath.name, out, gt)
+
+        if args.png_save:
+            video_io.save_frames_as_png(out, out_dir / vpath.stem)
+        else:
+            video_io.save_video(out, out_dir / (vpath.stem + ".mp4"), fps=args.fps)
+
+    if accumulator is not None:
+        summary = accumulator.summary()
+        print("\n=== Overall Average Metrics ===")
+        for name, val in summary["average"].items():
+            print(f"{name.upper()}: {val:.4f}")
+        out_name = "metrics_" + "_".join(metric_names) + ".json"
+        (out_dir / out_name).write_text(json.dumps(summary, indent=2))
+
+    print("All videos processed.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""DiT structure/behavior tests on the tiny config (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dove_tpu.config import DiTConfig, tiny_test
+from dove_tpu.models.dit import (
+    dit_forward,
+    init_dit_params,
+    param_count,
+    patchify,
+    unpatchify,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_test().dit
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    latent = jax.random.normal(jax.random.PRNGKey(1), (1, 4, cfg.in_channels, 8, 16))
+    text = jax.random.normal(
+        jax.random.PRNGKey(2), (1, cfg.max_text_seq_length, cfg.text_embed_dim)
+    )
+    return cfg, params, latent, text
+
+
+def test_forward_shape_and_jit(setup):
+    cfg, params, latent, text = setup
+    t = jnp.array([399])
+    out = jax.jit(lambda p, l, te, tt: dit_forward(p, cfg, l, te, tt))(
+        params, latent, text, t
+    )
+    assert out.shape == (1, 4, cfg.out_channels, 8, 16)
+    eager = dit_forward(params, cfg, latent, text, t)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(eager), atol=1e-5)
+
+
+def test_timestep_conditioning_matters(setup):
+    cfg, params, latent, text = setup
+    a = dit_forward(params, cfg, latent, text, jnp.array([399]))
+    b = dit_forward(params, cfg, latent, text, jnp.array([10]))
+    assert float(jnp.abs(a - b).max()) > 1e-3
+
+
+def test_remat_matches_and_grads(setup):
+    cfg, params, latent, text = setup
+    t = jnp.array([399])
+    a = dit_forward(params, cfg, latent, text, t)
+    b = dit_forward(params, cfg, latent, text, t, remat=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def loss(p):
+        return jnp.mean(dit_forward(p, cfg, latent, text, t, remat=True) ** 2)
+
+    g = jax.grad(loss)(params)
+    total = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
+    assert np.isfinite(total) and total > 0
+
+
+def test_patchify_unpatchify_roundtrip(setup):
+    """unpatchify(patchify) with identity projection must reproduce token->pixel
+    mapping bijectively: check via random proj-free path."""
+    cfg, params, latent, _ = setup
+    pt, p = cfg.patch_size_t, cfg.patch_size
+    dim_per_patch = cfg.in_channels * pt * p * p
+    # identity 'projection' keeps raw patch features
+    eye = {"kernel": jnp.eye(dim_per_patch)}
+    tokens = patchify(cfg, {"proj": eye}, latent)
+    assert tokens.shape == (1, (4 // pt) * (8 // p) * (16 // p), dim_per_patch)
+    recon = unpatchify(cfg, tokens, 4, 8, 16)
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(latent), atol=1e-6)
+
+
+def test_token_order_is_f_major(setup):
+    """Perturbing the last latent frame pair must only change trailing tokens."""
+    cfg, _, latent, _ = setup
+    eye = {"kernel": jnp.eye(cfg.in_channels * 2 * 2 * 2)}
+    t0 = patchify(cfg, {"proj": eye}, latent)
+    bumped = latent.at[:, 2:].add(1.0)
+    t1 = patchify(cfg, {"proj": eye}, bumped)
+    S = t0.shape[1]
+    changed = np.where(np.abs(np.asarray(t1 - t0)).sum(-1)[0] > 0)[0]
+    assert changed.min() == S // 2  # second temporal patch = second half
+
+
+def test_2b_family_forward():
+    cfg = DiTConfig(
+        num_layers=2, num_attention_heads=4, attention_head_dim=16,
+        in_channels=8, out_channels=8, text_embed_dim=32, max_text_seq_length=7,
+        time_embed_dim=16, patch_size_t=None, patch_bias=True,
+        use_rotary_positional_embeddings=False,
+        sample_height=16, sample_width=16, sample_frames=9,
+    )
+    params = init_dit_params(jax.random.PRNGKey(3), cfg)
+    latent = jax.random.normal(jax.random.PRNGKey(4), (1, 3, 8, 8, 16))
+    text = jax.random.normal(jax.random.PRNGKey(5), (1, 7, 32))
+    out = dit_forward(params, cfg, latent, text, jnp.array([399]))
+    assert out.shape == (1, 3, 8, 8, 16)
+    assert "pos_embedding" in params["patch_embed"]
+
+
+def test_flagship_param_count():
+    """The 1.5-5B config must reproduce the published ~5.79 B parameters
+    (BASELINE.md complexity table: 5,787.19 M)."""
+    from dove_tpu.config import cogvideox1_5_5b
+    import jax
+
+    cfg = cogvideox1_5_5b().dit
+    # count analytically (avoid building 5.8B params on CPU in tests)
+    d, L, tdim = cfg.hidden_dim, cfg.num_layers, cfg.time_embed_dim
+    per_block = (
+        (tdim * 6 * d + 6 * d) + 2 * d  # norm1 linear + LN affine
+        + 3 * (d * d + d) + (d * d + d)  # qkv + out
+        + 4 * cfg.attention_head_dim  # norm_q/k affine
+        + (tdim * 6 * d + 6 * d) + 2 * d  # norm2
+        + (d * cfg.ff_dim + cfg.ff_dim) + (cfg.ff_dim * d + d)  # ff
+    )
+    patch_in = cfg.in_channels * cfg.patch_size_t * cfg.patch_size**2
+    total = (
+        patch_in * d  # patch proj (no bias)
+        + cfg.text_embed_dim * d + d  # text proj
+        + d * tdim + tdim + tdim * tdim + tdim  # time mlp
+        + L * per_block
+        + 2 * d  # norm_final
+        + tdim * 2 * d + 2 * d + 2 * d  # norm_out linear + LN
+        + d * (cfg.out_channels * cfg.patch_size_t * cfg.patch_size**2)
+        + cfg.out_channels * cfg.patch_size_t * cfg.patch_size**2
+    )
+    assert abs(total - 5_787_000_000) / 5_787_000_000 < 0.01

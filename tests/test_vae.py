@@ -1,0 +1,110 @@
+"""3D causal VAE tests on the tiny config (CPU).
+
+Note on chunking: frame-chunked processing is NOT bit-identical to whole-clip
+processing (GroupNorm statistics span the frame axis — true of the reference
+VAE as well). What must be exact is causal-conv cache continuity, tested in
+isolation; the full chunked paths are tested for shapes, determinism and the
+reference chunk layout.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dove_tpu.config import tiny_test
+from dove_tpu.models.vae import (
+    _frame_chunks,
+    _init_conv,
+    causal_conv3d,
+    decode,
+    encode_moments,
+    init_vae_params,
+    sample_latent,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_test().vae
+    params = init_vae_params(jax.random.PRNGKey(0), cfg)
+    video = jax.random.normal(jax.random.PRNGKey(1), (1, 9, 32, 32, 3)) * 0.2
+    return cfg, params, video
+
+
+def test_frame_chunk_layout_matches_reference():
+    """Remainder rides with the first chunk (diffusers convention)."""
+    assert _frame_chunks(33, 8) == [(0, 9), (9, 17), (17, 25), (25, 33)]
+    assert _frame_chunks(9, 2) == [(0, 3), (3, 5), (5, 7), (7, 9)]
+    assert _frame_chunks(5, 8) == [(0, 5)]
+    assert _frame_chunks(8, 8) == [(0, 8)]
+
+
+def test_causal_conv_cache_continuity():
+    """Chunked causal convs with cache == whole-clip, exactly."""
+    key = jax.random.PRNGKey(0)
+    ps = [_init_conv(jax.random.fold_in(key, i), 3, 3, 3, 4, 4) for i in range(3)]
+    x = jax.random.normal(jax.random.fold_in(key, 9), (1, 9, 8, 8, 4))
+
+    def run(x, caches):
+        h, new = x, []
+        for p, c in zip(ps, caches):
+            h, nc = causal_conv3d(p, h, c)
+            new.append(nc)
+        return h, new
+
+    y_whole, _ = run(x, [None] * 3)
+    y1, c = run(x[:, :5], [None] * 3)
+    y2, _ = run(x[:, 5:], c)
+    np.testing.assert_array_equal(
+        np.asarray(y_whole), np.asarray(jnp.concatenate([y1, y2], axis=1))
+    )
+
+
+def test_causal_first_frame_padding():
+    """With zero cache at clip start, padding replicates the FIRST frame —
+    so a temporally-constant input stays constant after the conv."""
+    p = _init_conv(jax.random.PRNGKey(0), 3, 1, 1, 2, 2)
+    frame = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 4, 4, 2))
+    x = jnp.repeat(frame, 5, axis=1)
+    y, _ = causal_conv3d(p, x, None)
+    ref = y[:, :1]
+    np.testing.assert_allclose(np.asarray(y), np.asarray(jnp.repeat(ref, 5, 1)), atol=1e-5)
+
+
+def test_encode_shapes_and_determinism(setup):
+    cfg, params, video = setup
+    m = encode_moments(cfg, params, video)
+    # 9 frames -> 3 latent frames; 32 -> 4 spatial; 2*latent_channels moments
+    assert m.shape == (1, 3, 4, 4, 2 * cfg.latent_channels)
+    m2 = encode_moments(cfg, params, video)
+    np.testing.assert_array_equal(np.asarray(m), np.asarray(m2))
+
+
+def test_sample_latent(setup):
+    cfg, params, video = setup
+    m = encode_moments(cfg, params, video)
+    mean_lat = sample_latent(m, None, cfg.scaling_factor)
+    assert mean_lat.shape == (1, 3, 4, 4, cfg.latent_channels)
+    s1 = sample_latent(m, jax.random.PRNGKey(0), cfg.scaling_factor)
+    s2 = sample_latent(m, jax.random.PRNGKey(0), cfg.scaling_factor)
+    s3 = sample_latent(m, jax.random.PRNGKey(1), cfg.scaling_factor)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    assert float(jnp.abs(s1 - s3).max()) > 0
+
+
+def test_decode_shapes(setup):
+    cfg, params, video = setup
+    m = encode_moments(cfg, params, video)
+    z = sample_latent(m, None, cfg.scaling_factor) / cfg.scaling_factor
+    y = decode(cfg, params, z)
+    assert y.shape == (1, 9, 32, 32, 3)
+
+
+def test_roundtrip_is_stable(setup):
+    """Random-weight encode-decode must stay finite and bounded."""
+    cfg, params, video = setup
+    m = encode_moments(cfg, params, video)
+    z = sample_latent(m, None, cfg.scaling_factor) / cfg.scaling_factor
+    y = decode(cfg, params, z)
+    assert np.isfinite(np.asarray(y)).all()
