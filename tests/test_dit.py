@@ -103,11 +103,18 @@ def test_2b_family_forward():
 
 def test_flagship_param_count():
     """The 1.5-5B config must reproduce the published ~5.79 B parameters
-    (BASELINE.md complexity table: 5,787.19 M)."""
+    (BASELINE.md complexity table: 5,787.19 M = DiT ~5.57 B + VAE ~216 M;
+    the empty-prompt cache removes the T5 encoder from the count)."""
     from dove_tpu.config import cogvideox1_5_5b
+    from dove_tpu.models.vae import init_vae_params
     import jax
 
-    cfg = cogvideox1_5_5b().dit
+    full = cogvideox1_5_5b()
+    cfg = full.dit
+    vae_shapes = jax.eval_shape(
+        lambda k: init_vae_params(k, full.vae), jax.random.PRNGKey(0)
+    )
+    vae_total = sum(s.size for s in jax.tree.leaves(vae_shapes))
     # count analytically (avoid building 5.8B params on CPU in tests)
     d, L, tdim = cfg.hidden_dim, cfg.num_layers, cfg.time_embed_dim
     per_block = (
@@ -128,4 +135,4 @@ def test_flagship_param_count():
         + d * (cfg.out_channels * cfg.patch_size_t * cfg.patch_size**2)
         + cfg.out_channels * cfg.patch_size_t * cfg.patch_size**2
     )
-    assert abs(total - 5_787_000_000) / 5_787_000_000 < 0.01
+    assert abs(total + vae_total - 5_787_190_000) / 5_787_190_000 < 0.01
