@@ -327,19 +327,36 @@ class DegradationsWithShuffle:
                 frames = op(frames, rng)
         return frames
 
+    def set_target_size(self, hw: tuple[int, int]) -> bool:
+        """Point the shuffled-resize op at the per-crop LQ size (the datasets
+        set this to crop/scale each item, reference behavior at
+        /root/reference/finetune/datasets/real_sr_dataset.py:253-256)."""
+        for group in self.groups:
+            for op in group:
+                if isinstance(op, RandomResize):
+                    op.set_target_size(hw)
+                    return True
+        return False
+
 
 class DegradationPipeline:
     """One degradation stage parsed from a reference-format YAML section."""
 
     def __init__(self, section: dict[str, Any]):
-        self.ops: list[Any] = []
+        self.keyed_ops: list[tuple[str, Any]] = []
         for key, spec in section.items():
             if key == "degradation_with_shuffle":
-                self.ops.append(DegradationsWithShuffle(spec["degradations"]))
+                self.keyed_ops.append(
+                    (key, DegradationsWithShuffle(spec["degradations"]))
+                )
             elif key in _KEY_TO_TYPE:
-                self.ops.append(_KEY_TO_TYPE[key](spec.get("params", {})))
+                self.keyed_ops.append((key, _KEY_TO_TYPE[key](spec.get("params", {}))))
             else:
                 raise ValueError(f"unknown degradation op: {key}")
+
+    @property
+    def ops(self) -> list[Any]:
+        return [op for _, op in self.keyed_ops]
 
     def find_resize(self):
         for op in self.ops:
@@ -347,8 +364,27 @@ class DegradationPipeline:
                 return op
         return None
 
-    def __call__(self, frames: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    def set_shuffle_target_size(self, hw: tuple[int, int]) -> bool:
+        """Set the dynamic LQ size on the resize inside the shuffle group."""
         for op in self.ops:
+            if isinstance(op, DegradationsWithShuffle) and op.set_target_size(hw):
+                return True
+        return False
+
+    def __call__(
+        self,
+        frames: np.ndarray,
+        rng: np.random.Generator,
+        skip: Sequence[str] = (),
+        only: Sequence[str] | None = None,
+    ) -> np.ndarray:
+        """Run the stage. `skip`/`only` filter by op key (e.g. skip MPEG for
+        the image branch of the stage-2 dataset)."""
+        for key, op in self.keyed_ops:
+            if key in skip:
+                continue
+            if only is not None and key not in only:
+                continue
             frames = op(frames, rng)
         return frames
 

@@ -32,6 +32,15 @@ def psnr(pred: np.ndarray, gt: np.ndarray) -> float:
     return float(np.mean(vals))
 
 
+def psnr_y(pred: np.ndarray, gt: np.ndarray) -> float:
+    """PSNR on the BT.601 Y channel (range 0-255), averaged per frame."""
+    vals = []
+    for p, g in zip(pred, gt):
+        mse = np.mean((_to_y(p) - _to_y(g)) ** 2)
+        vals.append(100.0 if mse == 0 else 10.0 * np.log10(255.0**2 / mse))
+    return float(np.mean(vals))
+
+
 def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
     ax = np.arange(size) - size // 2
     g = np.exp(-(ax**2) / (2 * sigma**2))

@@ -323,6 +323,119 @@ def decode(
 
 
 # ---------------------------------------------------------------------------
+# Spatially tiled ("tiled") encode / decode with feathered blending
+#
+# Capability parity with diffusers' AutoencoderKLCogVideoX.enable_tiling()
+# used by the reference at /root/reference/inference_script.py:643-645. This
+# is the VAE's *internal* memory-control tiler (linear feather blending in the
+# overlap band) — distinct from the pipeline's outer exact-coverage tiler
+# (dove_tpu/tiling.py). Host-side Python loops over jitted per-tile encodes.
+# ---------------------------------------------------------------------------
+
+def _blend_v(a: jnp.ndarray, b: jnp.ndarray, extent: int) -> jnp.ndarray:
+    """Linear vertical feather: blend b's top `extent` rows with a's bottom."""
+    extent = min(a.shape[2], b.shape[2], extent)
+    if extent <= 0:
+        return b
+    w = (jnp.arange(extent, dtype=jnp.float32) / extent).reshape(1, 1, -1, 1, 1)
+    top = a[:, :, -extent:].astype(jnp.float32) * (1 - w) + b[
+        :, :, :extent
+    ].astype(jnp.float32) * w
+    return jnp.concatenate([top.astype(b.dtype), b[:, :, extent:]], axis=2)
+
+
+def _blend_h(a: jnp.ndarray, b: jnp.ndarray, extent: int) -> jnp.ndarray:
+    """Linear horizontal feather: blend b's left `extent` cols with a's right."""
+    extent = min(a.shape[3], b.shape[3], extent)
+    if extent <= 0:
+        return b
+    w = (jnp.arange(extent, dtype=jnp.float32) / extent).reshape(1, 1, 1, -1, 1)
+    left = a[:, :, :, -extent:].astype(jnp.float32) * (1 - w) + b[
+        :, :, :, :extent
+    ].astype(jnp.float32) * w
+    return jnp.concatenate([left.astype(b.dtype), b[:, :, :, extent:]], axis=3)
+
+
+def tiled_encode_moments(
+    cfg: VAEConfig, params: Params, video: jnp.ndarray, chunk_frames: int | None = None
+) -> jnp.ndarray:
+    """Tiled full-clip encode. video: [B, F, H, W, 3] -> moments (feathered)."""
+    H, W = video.shape[2], video.shape[3]
+    s = cfg.spatial_scale
+    tile_h, tile_w = cfg.tile_sample_min_height, cfg.tile_sample_min_width
+    if H <= tile_h and W <= tile_w:
+        return encode_moments(cfg, params, video, chunk_frames)
+    lat_h, lat_w = tile_h // s, tile_w // s
+    overlap_h = int(tile_h * (1 - cfg.tile_overlap_factor_height))
+    overlap_w = int(tile_w * (1 - cfg.tile_overlap_factor_width))
+    blend_h = int(lat_h * cfg.tile_overlap_factor_height)
+    blend_w = int(lat_w * cfg.tile_overlap_factor_width)
+    row_limit_h = lat_h - blend_h
+    row_limit_w = lat_w - blend_w
+
+    rows = []
+    for i in range(0, H, overlap_h):
+        row = []
+        for j in range(0, W, overlap_w):
+            tile = video[:, :, i : i + tile_h, j : j + tile_w]
+            row.append(encode_moments(cfg, params, tile, chunk_frames))
+        rows.append(row)
+
+    result_rows = []
+    for i, row in enumerate(rows):
+        out_row = []
+        for j, tile in enumerate(row):
+            if i > 0:
+                tile = _blend_v(rows[i - 1][j], tile, blend_h)
+            if j > 0:
+                tile = _blend_h(row[j - 1], tile, blend_w)
+            out_row.append(tile[:, :, :row_limit_h, :row_limit_w])
+        result_rows.append(jnp.concatenate(out_row, axis=3))
+    out = jnp.concatenate(result_rows, axis=2)
+    # Exact output geometry regardless of tail-tile remainders.
+    return out[:, :, : H // s, : W // s]
+
+
+def tiled_decode(
+    cfg: VAEConfig, params: Params, latent: jnp.ndarray, chunk_frames: int | None = None
+) -> jnp.ndarray:
+    """Tiled full-clip decode. latent: [B, F', h, w, C] (unscaled) -> pixels."""
+    h, w = latent.shape[2], latent.shape[3]
+    s = cfg.spatial_scale
+    tile_h, tile_w = cfg.tile_sample_min_height, cfg.tile_sample_min_width
+    lat_h, lat_w = tile_h // s, tile_w // s
+    if h <= lat_h and w <= lat_w:
+        return decode(cfg, params, latent, chunk_frames)
+    overlap_h = int(lat_h * (1 - cfg.tile_overlap_factor_height))
+    overlap_w = int(lat_w * (1 - cfg.tile_overlap_factor_width))
+    blend_h = int(tile_h * cfg.tile_overlap_factor_height)
+    blend_w = int(tile_w * cfg.tile_overlap_factor_width)
+    row_limit_h = tile_h - blend_h
+    row_limit_w = tile_w - blend_w
+
+    rows = []
+    for i in range(0, h, overlap_h):
+        row = []
+        for j in range(0, w, overlap_w):
+            tile = latent[:, :, i : i + lat_h, j : j + lat_w]
+            row.append(decode(cfg, params, tile, chunk_frames))
+        rows.append(row)
+
+    result_rows = []
+    for i, row in enumerate(rows):
+        out_row = []
+        for j, tile in enumerate(row):
+            if i > 0:
+                tile = _blend_v(rows[i - 1][j], tile, blend_h)
+            if j > 0:
+                tile = _blend_h(row[j - 1], tile, blend_w)
+            out_row.append(tile[:, :, :row_limit_h, :row_limit_w])
+        result_rows.append(jnp.concatenate(out_row, axis=3))
+    out = jnp.concatenate(result_rows, axis=2)
+    return out[:, :, : h * s, : w * s]
+
+
+# ---------------------------------------------------------------------------
 # Initialization (random weights; checkpoints load via weights.py)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,384 @@
+"""Flash attention for TPU (Pallas/Mosaic), forward + backward.
+
+The DiT's joint [text|video] self-attention is the hottest op in DOVE's
+one-step VSR (reference call site: /root/reference/inference_script.py:483-489
+via diffusers' CogVideoXAttnProcessor). For a 720p un-tiled clip the sequence
+reaches ~47k tokens, where materializing the [S, S] logits matrix is
+impossible; this kernel streams K/V blocks through VMEM with the online
+softmax, O(S) memory.
+
+Design notes (see /opt/skills/guides/pallas_guide.md):
+  * grid (batch*heads, q_blocks, kv_blocks), kv innermost ("arbitrary"),
+    batch/q "parallel";
+  * fp32 logits + accumulator in VMEM scratch, bf16 MXU matmuls;
+  * running max/denominator kept lane-broadcast in [block_q, 128] scratch so
+    every store is a full-tile store;
+  * sequence lengths are padded to the block size by the wrapper; padded KV
+    columns are masked to -inf, padded Q rows are sliced off on the host side;
+  * backward = standard two-kernel FlashAttention-2 recomputation: one pass
+    accumulating dQ over KV blocks, one pass accumulating dK/dV over Q blocks,
+    using the saved per-row logsumexp.
+
+Non-causal only (DOVE's DiT is fully bidirectional).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128  # store running stats lane-broadcast for full-tile stores
+
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
+
+
+def _interpret() -> bool:
+    """Mosaic only compiles for TPU; elsewhere run the Pallas interpreter so
+    the same kernel code is testable on CPU."""
+    try:
+        return jax.default_backend() != "tpu"
+    except Exception:  # pragma: no cover
+        return True
+
+
+def _pick_block(seq_len: int, preferred: int) -> int:
+    """Largest power-of-two block <= preferred that keeps padding sane."""
+    b = preferred
+    while b > 128 and b > seq_len:
+        b //= 2
+    return max(b, 128)
+
+
+def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref,  # [1, block, D]
+    o_ref,                # [1, block_q, D]
+    lse_ref,              # [1, block_q, LANES]
+    m_scr, l_scr, acc_scr,
+    *, scale: float, kv_len: int, block_k: int,
+):
+    kj = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [bq, bk]
+
+    if kv_len % block_k:  # static: mask the padded tail block's columns
+        col = kj * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, -jnp.inf)
+
+    m_prev = m_scr[:, :1]  # [bq, 1] (all lanes equal)
+    l_prev = l_scr[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot(
+        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
+    )
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(kj == nk - 1)
+    def _finish():
+        l = l_scr[:, :1]
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[:] + jnp.log(l_scr[:])
+
+
+def _flash_fwd(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    scale: float, block_q: int, block_k: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """q: [BH, Sq, D]; k, v: [BH, Skv, D] -> (out [BH, Sq, D], lse [BH, Sq])."""
+    bh, sq, d = q.shape
+    kv_len = k.shape[1]
+    block_q = _pick_block(sq, block_q)
+    block_k = _pick_block(kv_len, block_k)
+
+    qp = _pad_to(q, 1, block_q)
+    kp = _pad_to(k, 1, block_k)
+    vp = _pad_to(v, 1, block_k)
+    nq = qp.shape[1] // block_q
+    nk = kp.shape[1] // block_k
+
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, kv_len=kv_len, block_k=block_k
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(qp.shape, q.dtype),
+            jax.ShapeDtypeStruct((bh, qp.shape[1], LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(qp, kp, vp)
+    return out[:, :sq], lse[:, :sq, 0]
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref,
+    dq_scr,
+    *, scale: float, kv_len: int, block_k: int,
+):
+    kj = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if kv_len % block_k:
+        col = kj * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, -jnp.inf)
+    p = jnp.exp(s - lse_ref[0][:, :1])  # [bq, bk]
+
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0][:, :1]) * scale  # [bq, bk] fp32
+    dq_scr[:] += jax.lax.dot(
+        ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kj == nk - 1)
+    def _finish():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    dk_scr, dv_scr,
+    *, scale: float, kv_len: int, block_k: int,
+):
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    # s^T layout: [bk, bq]
+    st = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    kj = pl.program_id(1)
+    if kv_len % block_k:
+        row = kj * block_k + jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+        st = jnp.where(row < kv_len, st, -jnp.inf)
+    pt = jnp.exp(st - lse_ref[0][:, 0][None, :])  # [bk, bq]
+
+    do = do_ref[0]
+    dv_scr[:] += jax.lax.dot(
+        pt.astype(do.dtype), do, preferred_element_type=jnp.float32
+    )
+    dpt = jax.lax.dot_general(
+        v_ref[0], do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bk, bq]
+    dst = pt * (dpt - delta_ref[0][:, 0][None, :]) * scale
+    dk_scr[:] += jax.lax.dot(
+        dst.astype(q.dtype), q, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(qi == nq - 1)
+    def _finish():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd(
+    q, k, v, out, lse, do, scale: float, block_q: int, block_k: int
+):
+    bh, sq, d = q.shape
+    kv_len = k.shape[1]
+    block_q = _pick_block(sq, block_q)
+    block_k = _pick_block(kv_len, block_k)
+
+    # delta_i = rowsum(dO * O) (fp32), lane-broadcast like lse
+    delta = jnp.sum(
+        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )  # [BH, Sq]
+
+    qp = _pad_to(q, 1, block_q)
+    dop = _pad_to(do, 1, block_q)
+    kp = _pad_to(k, 1, block_k)
+    vp = _pad_to(v, 1, block_k)
+    # padded q rows: exp(s - (-inf)) would be nan; use lse=+inf so p=0
+    lse_p = _pad_to(lse, 1, block_q)
+    if lse_p.shape[1] != sq:
+        pad_rows = (
+            jax.lax.broadcasted_iota(jnp.int32, lse_p.shape, 1) >= sq
+        )
+        lse_p = jnp.where(pad_rows, jnp.inf, lse_p)
+    delta_p = _pad_to(delta, 1, block_q)
+    lse_b = jnp.broadcast_to(lse_p[..., None], lse_p.shape + (LANES,))
+    delta_b = jnp.broadcast_to(delta_p[..., None], delta_p.shape + (LANES,))
+
+    nq = qp.shape[1] // block_q
+    nk = kp.shape[1] // block_k
+
+    common_in = [qp, kp, vp, dop, lse_b, delta_b]
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, scale=scale, kv_len=kv_len, block_k=block_k
+        ),
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, i, j: (b, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(*common_in)[:, :sq]
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, scale=scale, kv_len=kv_len, block_k=block_k
+        ),
+        grid=(bh, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, j, i: (b, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(kp.shape, k.dtype),
+            jax.ShapeDtypeStruct(vp.shape, v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(*common_in)
+    return dq, dk[:, :kv_len], dv[:, :kv_len]
+
+
+# ---------------------------------------------------------------------------
+# Public API: [B, H, S, D] with custom VJP
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jnp.ndarray:
+    """Non-causal flash attention. q, k, v: [B, H, S, D] -> [B, H, S, D]."""
+    out, _ = _fa_fwd(q, k, v, scale, block_q, block_k)
+    return out
+
+
+def _fa_fwd(q, k, v, scale, block_q, block_k):
+    B, H, S, D = q.shape
+    sc = scale if scale is not None else 1.0 / math.sqrt(D)
+    qf = q.reshape(B * H, S, D)
+    kf = k.reshape(B * H, k.shape[2], D)
+    vf = v.reshape(B * H, v.shape[2], D)
+    out, lse = _flash_fwd(qf, kf, vf, sc, block_q, block_k)
+    return out.reshape(q.shape), (q, k, v, out.reshape(q.shape), lse)
+
+
+def _fa_bwd(scale, block_q, block_k, res, g):
+    q, k, v, out, lse = res
+    B, H, S, D = q.shape
+    sc = scale if scale is not None else 1.0 / math.sqrt(D)
+    dq, dk, dv = _flash_bwd(
+        q.reshape(B * H, S, D),
+        k.reshape(B * H, k.shape[2], D),
+        v.reshape(B * H, v.shape[2], D),
+        out.reshape(B * H, S, D),
+        lse,
+        g.reshape(B * H, S, D),
+        sc, block_q, block_k,
+    )
+    return dq.reshape(q.shape), dk.reshape(k.shape), dv.reshape(v.shape)
+
+
+flash_attention.defvjp(_fa_fwd, _fa_bwd)

@@ -32,9 +32,9 @@ def make_mesh(
     n = len(devices)
     if data is None:
         data = n // model
-    if data * model != n:
-        raise ValueError(f"data({data}) * model({model}) != devices({n})")
-    dev_array = np.asarray(devices).reshape(data, model)
+    if data * model > n:
+        raise ValueError(f"data({data}) * model({model}) > devices({n})")
+    dev_array = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(dev_array, ("data", "model"))
 
 

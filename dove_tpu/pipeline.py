@@ -139,8 +139,16 @@ class DovePipeline:
         overlap_t: int = 8,
         overlap_hw: tuple[int, int] = (32, 32),
         seed: int = 42,
+        tile_batch: int = 1,
+        mesh=None,
     ) -> np.ndarray:
-        """Full one-step SR of a clip -> [F, H*s, W*s, 3] float32 in [0, 1]."""
+        """Full one-step SR of a clip -> [F, H*s, W*s, 3] float32 in [0, 1].
+
+        tile_batch > 1 batches same-geometry tiles through one jitted call
+        (throughput mode); with a mesh the batch is sharded over its "data"
+        axis, so independent tiles run on independent chips with zero
+        cross-chip communication (SURVEY.md §2.7's serving strategy).
+        """
         upscale = self.config.upscale if upscale is None else upscale
         padded, (pad_f, pad_h, pad_w) = tiling.pad_video(frames)
         up = video_io.bilinear_upscale(padded, upscale)
@@ -152,24 +160,58 @@ class DovePipeline:
         )
         effective_ot = overlap_t if chunk_len > 0 else 0
         geoms = tiling.tile_geometries(tiles)
+        if mesh is not None:
+            tile_batch = max(tile_batch, mesh.shape.get("data", 1))
         logger.info(
-            "clip: %d frames %dx%d -> %d tiles, %d geometries %s",
-            F, H, W, len(tiles), len(geoms), sorted(geoms),
+            "clip: %d frames %dx%d -> %d tiles (batch %d), %d geometries %s",
+            F, H, W, len(tiles), tile_batch, len(geoms), sorted(geoms),
         )
 
         stitcher = tiling.Stitcher(3, F, H, W, effective_ot, overlap_hw)
         rng = jax.random.PRNGKey(seed)
-        for i, t in enumerate(tiles):
+
+        def tile_data(t: tiling.Tile) -> tuple[np.ndarray, int]:
             data = up[t.t_start : t.t_end, t.h_start : t.h_end, t.w_start : t.w_end]
-            tile_dev = jnp.asarray(data[None], self.dtype)
-            rng, step_rng = jax.random.split(rng)
-            fn = self.compiled_sr(tile_dev.shape)
-            out = fn(
-                self.dit_params, self.vae_params, self.prompt_embedding,
-                tile_dev, step_rng,
-            )
-            out_np = np.asarray(out[0], np.float32)  # [f, h, w, 3]
-            stitcher.add(t, out_np.transpose(3, 0, 1, 2))
+            # Causal-VAE frame rule: pad odd-length chunks (e.g. a merged
+            # tail) up to the next roundtrip-exact length, trim after.
+            nf = data.shape[0]
+            valid_nf = tiling.next_valid_frames(nf)
+            if valid_nf != nf:
+                data = np.concatenate(
+                    [data, np.repeat(data[-1:], valid_nf - nf, axis=0)], axis=0
+                )
+            return data, nf
+
+        # Group same-shaped tiles so each geometry compiles once and batches.
+        by_geom: dict[tuple, list[tiling.Tile]] = {}
+        for t in tiles:
+            by_geom.setdefault(t.shape, []).append(t)
+
+        sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(mesh, P("data"))
+
+        for group in by_geom.values():
+            for s in range(0, len(group), tile_batch):
+                batch_tiles = group[s : s + tile_batch]
+                arrays, nfs = zip(*(tile_data(t) for t in batch_tiles))
+                n_real = len(arrays)
+                if n_real < tile_batch and tile_batch > 1:
+                    arrays = arrays + (arrays[-1],) * (tile_batch - n_real)
+                batch = jnp.asarray(np.stack(arrays), self.dtype)
+                if sharding is not None:
+                    batch = jax.device_put(batch, sharding)
+                rng, step_rng = jax.random.split(rng)
+                fn = self.compiled_sr(batch.shape)
+                out = fn(
+                    self.dit_params, self.vae_params, self.prompt_embedding,
+                    batch, step_rng,
+                )
+                out_np = np.asarray(out[:n_real], np.float32)
+                for t, nf, o in zip(batch_tiles, nfs, out_np):
+                    stitcher.add(t, o[:nf].transpose(3, 0, 1, 2))
 
         result = stitcher.finalize()  # [3, F, H, W]
         result = tiling.unpad_video(result, pad_f, pad_h * upscale, pad_w * upscale)

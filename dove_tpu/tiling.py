@@ -216,6 +216,26 @@ class Stitcher:
 # Padding rules (pre-tiling; reference: inference_script.py:192-246)
 # ---------------------------------------------------------------------------
 
+def next_valid_frames(n: int, temporal_ratio: int = 4) -> int:
+    """Smallest m >= n whose causal-VAE encode/decode roundtrip preserves the
+    frame count (m % (2*ratio) in {0, 1}, or m == 1).
+
+    The causal 3D VAE maps F frames to F/r latents when F % r == 0 (even
+    temporal pooling all the way down) or to (F-1)/r + 1 when (F-1) % (2r)
+    == 0 (first-frame passthrough), and only those two families decode back
+    to exactly F frames. Arbitrary chunk lengths (e.g. a merged tail chunk)
+    must be padded up to the next valid length.
+    """
+    if n <= 1:
+        return 1
+    period = 2 * temporal_ratio
+    if n % period in (0, 1):
+        return n
+    up0 = ((n + period - 1) // period) * period  # next multiple of 2r
+    up1 = ((n - 1 + period - 1) // period) * period + 1  # next == 1 (mod 2r)
+    return min(u for u in (up0, up1) if u >= n)
+
+
 def compute_padding(num_frames: int, height: int, width: int) -> tuple[int, int, int]:
     """(pad_f, pad_h, pad_w) so that (F-1)%8==0 and H,W are multiples of 16.
 

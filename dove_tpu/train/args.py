@@ -1,0 +1,177 @@
+"""Training configuration schema (pydantic) + argparse bridge.
+
+Mirrors the reference's ~70-field Args surface
+(/root/reference/finetune/schemas/args.py:10-318) with TPU-native
+substitutions: the accelerate/DeepSpeed/NCCL knobs (zero stage, nccl_timeout,
+pin_memory) become mesh/sharding knobs (``data_parallel``, ``fsdp`` —
+SURVEY.md §2.7's mapping table). Cross-field validators reproduce the
+reference's checks (train_resolution format, validation requirements).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+from pathlib import Path
+from typing import Any, List, Literal, Optional, Tuple
+
+from pydantic import BaseModel, ValidationInfo, field_validator, model_validator
+
+
+class Args(BaseModel):
+    """All knobs for DOVE stage-1/stage-2 training."""
+
+    ########## Model ##########
+    model_path: Path
+    model_name: str = "dove-s1"  # registry key: dove-s1 | dove-s2
+    model_type: Literal["real-sr", "real-sr-image-video"] = "real-sr"
+    training_type: Literal["lora", "sft"] = "lora"
+    # architecture preset used when model_path has no transformer/config.json
+    base_preset: str = "cogvideox1.5-5b"
+
+    ########## Output ##########
+    output_dir: Path = Path(
+        "train_results/{:%Y-%m-%d-%H-%M-%S}".format(datetime.datetime.now())
+    )
+    report_to: Optional[Literal["tensorboard", "jsonl", "all"]] = "jsonl"
+    tracker_name: str = "VSR"
+
+    ########## Data ##########
+    data_root: Path = Path(".")
+    image_data_root: Optional[Path] = None
+    caption_column: Optional[Path] = None
+    image_column: Optional[Path] = None
+    video_column: Path = Path("videos.txt")
+
+    ########## Training ##########
+    resume_from_checkpoint: Optional[Path] = None
+    seed: Optional[int] = 42
+    train_epochs: int = 1
+    train_steps: Optional[int] = None
+    checkpointing_steps: int = 200
+    checkpointing_limit: int = 10
+    batch_size: int = 1
+    gradient_accumulation_steps: int = 1
+    train_resolution: Tuple[int, int, int] = (25, 320, 640)  # (F, H, W)
+    crop_mode: str = "random_crop"
+    mixed_precision: Literal["no", "fp16", "bf16"] = "bf16"
+
+    learning_rate: float = 2e-5
+    optimizer: str = "adamw"
+    beta1: float = 0.9
+    beta2: float = 0.95
+    epsilon: float = 1e-8
+    weight_decay: float = 1e-4
+    max_grad_norm: float = 1.0
+
+    lr_scheduler: str = "constant_with_warmup"
+    lr_warmup_steps: int = 100
+    lr_num_cycles: int = 1
+    lr_power: float = 1.0
+
+    num_workers: int = 8
+    gradient_checkpointing: bool = True
+    enable_slicing: bool = True
+    enable_tiling: bool = False
+    stastic_frequency: int = 100  # (sic) reference spelling, kept for parity
+
+    ########## Parallelism (TPU mesh; replaces DDP/ZeRO/NCCL) ##########
+    data_parallel: int = 0  # 0 = all devices on the data axis
+    fsdp: int = 1  # size of the "model" axis (param/optimizer sharding)
+
+    ########## LoRA ##########
+    rank: int = 128
+    lora_alpha: int = 64
+    target_modules: List[str] = ["to_q", "to_k", "to_v", "to_out.0"]
+
+    ########## Validation ##########
+    do_validation: bool = False
+    validation_steps: Optional[int] = None
+    validation_dir: Optional[Path] = None
+    validation_videos: Optional[str] = None
+    validation_ref_videos: Optional[str] = None
+    gen_fps: int = 16
+    num_inference_steps: int = 1
+    eval_metric_list: str = ""  # e.g. "psnr,ssim"
+
+    ########## SR specifics ##########
+    is_latent: bool = False
+    is_prompt_latent: bool = False
+    is_cache: bool = True
+    prompt_cache: str = "prompt_embeddings"
+    empty_prompt: bool = True
+    empty_ratio: float = 1.0
+    sr_noise_step: int = 399
+    noise_step: int = 0
+    degradation_config: str = "configs/degradation.yaml"
+    image_ratio: float = 0.0  # stage 2: probability of training on the image pair
+
+    ########## Stage-2 losses ##########
+    use_perceptual_loss: bool = False
+    ea_dists_weight: float = 0.0
+    dists_weight: float = 0.0
+    ea_lpips_weight: float = 0.0
+    lpips_weight: float = 0.0
+    frame_diff_weight: float = 0.0
+
+    @field_validator("train_resolution", mode="before")
+    @classmethod
+    def _parse_resolution(cls, v: Any) -> Tuple[int, int, int]:
+        if isinstance(v, str):
+            parts = v.split("x")
+            if len(parts) != 3:
+                raise ValueError(
+                    "train_resolution must be FxHxW, e.g. 25x320x640"
+                )
+            return tuple(int(p) for p in parts)  # type: ignore[return-value]
+        return tuple(v)  # type: ignore[return-value]
+
+    @field_validator("train_resolution")
+    @classmethod
+    def _check_resolution(cls, v: Tuple[int, int, int]) -> Tuple[int, int, int]:
+        f, h, w = v
+        if (f - 1) % 4 != 0:
+            raise ValueError(f"frames must satisfy (F-1)%4==0, got {f}")
+        if h % 16 or w % 16:
+            raise ValueError(f"H and W must be multiples of 16, got {h}x{w}")
+        return v
+
+    @model_validator(mode="after")
+    def _check_validation(self) -> "Args":
+        if self.do_validation and not self.validation_dir:
+            raise ValueError("do_validation requires validation_dir")
+        if self.model_type == "real-sr-image-video" and self.image_column is None:
+            raise ValueError("real-sr-image-video needs image_column")
+        return self
+
+    # ------------------------------------------------------------------
+    # argparse bridge (reference: Args.parse_args)
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def parse_args(cls, argv: list[str] | None = None) -> "Args":
+        parser = argparse.ArgumentParser(description="DOVE-TPU training")
+        for name, field in cls.model_fields.items():
+            arg = f"--{name}"
+            ann = str(field.annotation)
+            if field.annotation is bool or ann == "<class 'bool'>":
+                parser.add_argument(
+                    arg, type=lambda s: s.lower() in ("1", "true", "yes"),
+                    default=None,
+                )
+            elif "List" in ann or "list" in ann:
+                parser.add_argument(arg, nargs="*", default=None)
+            else:
+                parser.add_argument(arg, type=str, default=None)
+        ns = parser.parse_args(argv)
+        overrides = {k: v for k, v in vars(ns).items() if v is not None}
+        return cls(**overrides)
+
+    def dump_yaml(self, path: str | Path) -> None:
+        import yaml
+
+        data = {
+            k: (str(v) if isinstance(v, Path) else v)
+            for k, v in self.model_dump().items()
+        }
+        Path(path).write_text(yaml.safe_dump(data, sort_keys=False))

@@ -87,6 +87,88 @@ def frame_difference_l1(video: jnp.ndarray) -> jnp.ndarray:
     return video[:, 1:] - video[:, :-1]
 
 
+def sobel_edges(frames: jnp.ndarray) -> jnp.ndarray:
+    """Sobel gradient magnitude per channel (EdgeDetectionModel analog,
+    reference finetune/utils/metric_utils.py:210-241). frames: [B, H, W, C]."""
+    kx = jnp.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32)
+    ky = kx.T
+    C = frames.shape[-1]
+    def conv(img, k):
+        kernel = k[:, :, None, None] * jnp.eye(C, dtype=jnp.float32)
+        return jax.lax.conv_general_dilated(
+            img.astype(jnp.float32), kernel, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    gx = conv(frames, kx)
+    gy = conv(frames, ky)
+    return jnp.sqrt(gx * gx + gy * gy + 1e-12)
+
+
+def make_perceptual_fn(
+    kind: str = "dists",
+    edge_aware: bool = False,
+    weights_path: str | None = None,
+):
+    """Build the stage-2 per-frame perceptual loss (reference
+    lora_one_s2_trainer.py:240-277): DISTS or LPIPS averaged over frames,
+    optionally doubled with the Sobel-edge-map variant ("ea_" weights).
+
+    Without a pretrained weight file, falls back to randomly initialized VGG
+    features with uniform heads — still a meaningful (if weaker) perceptual
+    prior, and keeps the training path runnable everywhere.
+    """
+    from dove_tpu.eval import vgg as vgg_mod
+
+    if weights_path:
+        sd = vgg_mod._read_state_dict(weights_path)
+        vgg = vgg_mod.vgg16_from_torch_sd(sd)
+    else:
+        vgg = vgg_mod.init_vgg16(jax.random.PRNGKey(0))
+    if kind == "dists":
+        alpha, beta = vgg_mod.init_dists_weights()
+        if weights_path and "alpha" in sd:
+            chans = [3] + [c for c, _ in vgg_mod.VGG16_STAGES]
+            import numpy as np
+
+            af = np.asarray(sd["alpha"]).reshape(-1)
+            bf = np.asarray(sd["beta"]).reshape(-1)
+            alpha, beta, off = [], [], 0
+            for c in chans:
+                alpha.append(jnp.asarray(af[off : off + c], jnp.float32))
+                beta.append(jnp.asarray(bf[off : off + c], jnp.float32))
+                off += c
+
+        def frame_d(x, y):  # [N, H, W, 3] in [0, 1]
+            return jnp.mean(vgg_mod.dists_distance(vgg, alpha, beta, x, y))
+    elif kind == "lpips":
+        lins = [jnp.ones((c,), jnp.float32) for c, _ in vgg_mod.VGG16_STAGES]
+        if weights_path:
+            lins = [
+                jnp.asarray(sd[f"lins.{k}.model.1.weight"][:, :, 0, 0][0], jnp.float32)
+                if f"lins.{k}.model.1.weight" in sd else lins[k]
+                for k in range(5)
+            ]
+
+        def frame_d(x, y):  # lpips wants [-1, 1]
+            return jnp.mean(
+                vgg_mod.lpips_distance(vgg, lins, x * 2 - 1, y * 2 - 1)
+            )
+    else:
+        raise ValueError(f"unknown perceptual kind: {kind}")
+
+    def perceptual(pred: jnp.ndarray, hq: jnp.ndarray) -> jnp.ndarray:
+        """pred, hq: [B, F, H, W, 3] fp32 in [-1, 1] -> scalar."""
+        B, F = pred.shape[:2]
+        x = (pred.reshape((B * F,) + pred.shape[2:]) + 1.0) * 0.5
+        y = (hq.reshape((B * F,) + hq.shape[2:]) + 1.0) * 0.5
+        loss = frame_d(x, y)
+        if edge_aware:
+            loss = (loss + frame_d(sobel_edges(x), sobel_edges(y))) * 0.5
+        return loss
+
+    return perceptual
+
+
 def stage2_loss(
     cfg: PipelineConfig,
     schedule: Schedule,
@@ -112,7 +194,13 @@ def stage2_loss(
         rng, **fwd_kwargs,
     )
     z = x0 / jnp.asarray(cfg.vae.scaling_factor, x0.dtype)
-    pred = vae_mod.decode(cfg.vae, vae_params, z)  # [B, F, H, W, 3], [-1,1]
+    # Per-frame decode WITH gradients (reference lora_one_s2_trainer.py:228-233):
+    # stage 2 treats every frame as an independent 1-frame video, so pixel and
+    # latent frame counts match exactly and decode memory stays bounded.
+    B, Fl = z.shape[:2]
+    z_frames = z.reshape((B * Fl, 1) + z.shape[2:])
+    pred = vae_mod.decode(cfg.vae, vae_params, z_frames)  # [B*F, 1, H, W, 3]
+    pred = pred.reshape((B, Fl) + pred.shape[2:])  # [B, F, H, W, 3], [-1,1]
     hq = batch["hq_video"].astype(pred.dtype)
 
     pf = pred.astype(jnp.float32)

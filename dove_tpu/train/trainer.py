@@ -1,0 +1,617 @@
+"""DOVE training orchestration (TPU-native).
+
+Capability map of the reference Trainer (finetune/trainer.py:76-1046 +
+models/dove/lora_one_s{1,2}_trainer.py; SURVEY.md §2.3, §3.2-3.4):
+
+  * stage 1 ("dove-s1"): VAE-encode the paired LQ/HQ clips, one DiT pass at
+    t=399, velocity->x0, latent MSE;
+  * stage 2 ("dove-s2"): same core, then VAE-decode x0 WITH gradients and a
+    pixel MSE + perceptual (DISTS/LPIPS, optionally edge-aware) + temporal
+    frame-difference L1 composite; per item a coin flip (image_ratio) trains
+    on the image pair instead of the video pair;
+  * LoRA or SFT trainable-parameter modes (trainer.py:308-345);
+  * gradient accumulation, grad-norm clipping, LR warmup schedules;
+  * checkpoint-{step} rotation + resume, run metadata dump;
+  * periodic validation: full one-step SR on held-out clips + metrics;
+  * loss/lr/grad-norm/memory logging.
+
+TPU-native replacements: accelerate/DeepSpeed/NCCL -> a ("data", "model")
+jax mesh; ZeRO -> parameter/optimizer sharding via NamedSharding trees; DDP
+all-reduce -> XLA collectives inserted from shardings; the whole train step
+(VAE encode -> DiT -> loss -> grads -> optimizer) is ONE jitted function.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import time
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dove_tpu import config as cfg_mod
+from dove_tpu.models import vae as vae_mod
+from dove_tpu.models.dit import init_dit_params
+from dove_tpu.models.vae import init_vae_params
+from dove_tpu.ops.scheduler import Schedule
+from dove_tpu.parallel import mesh as mesh_mod
+from dove_tpu.train import checkpointing as ckpt_mod
+from dove_tpu.train import losses
+from dove_tpu.train.args import Args
+from dove_tpu.train.lora import apply_lora, init_lora_params
+from dove_tpu.train.optim import make_lr_schedule, make_optimizer
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# Model registry (reference: finetune/models/utils.py SUPPORTED_MODELS)
+# ---------------------------------------------------------------------------
+
+SUPPORTED_MODELS: dict[str, dict[str, type]] = {}
+
+
+def register(model_name: str, training_type: str, cls: type) -> None:
+    SUPPORTED_MODELS.setdefault(model_name, {})[training_type] = cls
+
+
+def get_model_cls(model_name: str, training_type: str) -> type:
+    try:
+        return SUPPORTED_MODELS[model_name][training_type]
+    except KeyError:
+        raise ValueError(
+            f"no trainer registered for ({model_name}, {training_type}); "
+            f"available: { {k: list(v) for k, v in SUPPORTED_MODELS.items()} }"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Trainer
+# ---------------------------------------------------------------------------
+
+class Trainer:
+    """Generic fit/train/validate loop; stages override ``compute_loss``."""
+
+    stage: int = 1
+
+    def __init__(self, args: Args, pipeline_config=None):
+        self.args = args
+        self.dtype = {
+            "no": jnp.float32, "bf16": jnp.bfloat16, "fp16": jnp.float16
+        }[args.mixed_precision]
+
+        if pipeline_config is not None:
+            self.config = pipeline_config
+        elif (Path(args.model_path) / "transformer" / "config.json").exists():
+            self.config = cfg_mod.pipeline_config_from_pretrained(args.model_path)
+        else:  # presets for tests / dry runs
+            preset = {
+                "cogvideox1.5-5b": cfg_mod.cogvideox1_5_5b,
+                "cogvideox-2b": cfg_mod.cogvideox_2b,
+                "tiny": cfg_mod.tiny_test,
+            }[args.base_preset]
+            self.config = preset()
+        self.config = dataclasses.replace(
+            self.config, sr_noise_step=args.sr_noise_step,
+            noise_step=args.noise_step,
+        )
+        self.schedule = Schedule.create(self.config.scheduler)
+
+        data_axis = args.data_parallel or len(jax.devices()) // args.fsdp
+        if args.batch_size % data_axis:
+            # fold the data axis down so the global batch shards evenly
+            while data_axis > 1 and args.batch_size % data_axis:
+                data_axis //= 2
+            logger.warning(
+                "batch_size %d not divisible by data axis; using data=%d",
+                args.batch_size, data_axis,
+            )
+        self.mesh = mesh_mod.make_mesh(data=data_axis, model=args.fsdp)
+        self.global_step = 0
+        self._log_file = None
+        self.perceptual_fn: Callable | None = None
+
+    # ------------------------------------------------------------------
+    # Component loading (reference: load_components / from_pretrained)
+    # ------------------------------------------------------------------
+
+    def load_components(self) -> None:
+        args = self.args
+        model_dir = Path(args.model_path)
+        if (model_dir / "transformer").exists():
+            from dove_tpu import weights
+
+            self.dit_params = weights.load_dit(model_dir, self.config.dit, self.dtype)
+            self.vae_params = weights.load_vae(model_dir, self.config.vae, self.dtype)
+        else:
+            logger.warning(
+                "model_path %s has no checkpoint; using random init", model_dir
+            )
+            self.dit_params = init_dit_params(
+                jax.random.PRNGKey(0), self.config.dit, self.dtype
+            )
+            self.vae_params = init_vae_params(
+                jax.random.PRNGKey(1), self.config.vae, self.dtype
+            )
+
+        emb_path = (
+            Path(args.data_root) / "cache" / args.prompt_cache
+            / "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855.safetensors"
+        )
+        if args.empty_prompt and emb_path.exists():
+            from dove_tpu.weights import load_prompt_embedding
+
+            self.empty_prompt = np.asarray(
+                load_prompt_embedding(emb_path, jnp.float32)
+            )
+        else:
+            self.empty_prompt = np.zeros(
+                (self.config.dit.max_text_seq_length, self.config.dit.text_embed_dim),
+                np.float32,
+            )
+
+        # Mesh placement: base weights FSDP-sharded over "model" (ZeRO-3
+        # analog); with fsdp=1 this is plain replication.
+        self.dit_params = mesh_mod.shard_params(self.dit_params, self.mesh, "model")
+        self.vae_params = mesh_mod.shard_params(self.vae_params, self.mesh, "model")
+
+        if args.training_type == "lora":
+            self.lora_params = init_lora_params(
+                jax.random.PRNGKey(2), self.config.dit, rank=args.rank,
+                dtype=jnp.float32,
+            )
+            self.lora_params = mesh_mod.shard_params(
+                self.lora_params, self.mesh, "model"
+            )
+            self.lora_scale = args.lora_alpha / args.rank
+
+    # ------------------------------------------------------------------
+    # Dataset
+    # ------------------------------------------------------------------
+
+    def prepare_dataset(self) -> None:
+        from dove_tpu.data.datasets import RealSRDataset, RealSRImageVideoDataset
+        from dove_tpu.data.loader import PrefetchLoader
+
+        args = self.args
+        F, H, W = args.train_resolution
+        common = dict(
+            data_root=args.data_root,
+            video_manifest=args.video_column,
+            max_num_frames=F,
+            height=H,
+            width=W,
+            degradation_config=args.degradation_config,
+            caption_manifest=args.caption_column,
+            empty_ratio=args.empty_ratio,
+            cache_prompts=args.is_cache,
+            prompt_cache=args.prompt_cache,
+            seed=args.seed or 0,
+        )
+        if args.model_type == "real-sr":
+            self.dataset = RealSRDataset(**common)
+        else:
+            self.dataset = RealSRImageVideoDataset(
+                image_data_root=args.image_data_root,
+                image_manifest=args.image_column,
+                **common,
+            )
+        self.loader = PrefetchLoader(
+            self.dataset,
+            batch_size=args.batch_size,
+            num_workers=args.num_workers,
+            drop_last=True,
+            seed=args.seed or 0,
+        )
+
+    # ------------------------------------------------------------------
+    # Optimizer + jitted train step
+    # ------------------------------------------------------------------
+
+    def trainable_params(self):
+        if self.args.training_type == "lora":
+            return self.lora_params
+        return self.dit_params
+
+    def _set_trainable(self, new):
+        if self.args.training_type == "lora":
+            self.lora_params = new
+        else:
+            self.dit_params = new
+
+    def prepare_optimizer(self, total_steps: int) -> None:
+        args = self.args
+        lr = make_lr_schedule(
+            args.learning_rate,
+            warmup_steps=args.lr_warmup_steps,
+            total_steps=total_steps,
+            kind=args.lr_scheduler,
+        )
+        self.optimizer = make_optimizer(
+            args.optimizer, lr,
+            betas=(args.beta1, args.beta2), eps=args.epsilon,
+            weight_decay=args.weight_decay, max_grad_norm=args.max_grad_norm,
+        )
+        if args.gradient_accumulation_steps > 1:
+            import optax
+
+            self.optimizer = optax.MultiSteps(
+                self.optimizer, args.gradient_accumulation_steps
+            )
+        # optimizer moments shard like their params (ZeRO analog); scalars
+        # replicate onto the mesh so every leaf lives on the same devices
+        self.opt_state = mesh_mod.shard_params(
+            self.optimizer.init(self.trainable_params()), self.mesh, "model"
+        )
+
+    # -- loss core (stage-specific) --
+
+    def effective_dit_params(self, trainable):
+        if self.args.training_type == "lora":
+            return apply_lora(self.dit_params, trainable, self.lora_scale)
+        return trainable
+
+    def compute_loss(self, trainable, batch, rng):
+        raise NotImplementedError
+
+    def _encode(self, video: jnp.ndarray, rng, per_frame: bool = False) -> jnp.ndarray:
+        """Pixel [B, F, H, W, 3] -> scaled latent [B, F', h, w, C] (no grad).
+
+        per_frame treats each frame as an independent 1-frame clip (stage 2:
+        reference lora_one_s2_trainer.py:141-145), so F' == F.
+        """
+        video = video.astype(self.dtype)
+        if per_frame:
+            B, F = video.shape[:2]
+            video = video.reshape((B * F, 1) + video.shape[2:])
+        moments = vae_mod.encode_moments(self.config.vae, self.vae_params, video)
+        lat = vae_mod.sample_latent(moments, rng, self.config.vae.scaling_factor)
+        if per_frame:
+            lat = lat.reshape((B, F) + lat.shape[2:])
+        return jax.lax.stop_gradient(lat)
+
+    def build_train_step(self):
+        optimizer = self.optimizer
+
+        def train_step(trainable, opt_state, base_state, batch, rng):
+            self_state = base_state  # closed-over immutables live in self
+
+            def loss_fn(p):
+                return self.compute_loss(p, batch, rng)
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                trainable
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, trainable)
+            import optax
+
+            trainable = optax.apply_updates(trainable, updates)
+            gnorm = optax.global_norm(grads)
+            return trainable, opt_state, loss, aux, gnorm
+
+        return jax.jit(train_step, static_argnums=(2,), donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------
+    # Batch -> device
+    # ------------------------------------------------------------------
+
+    def _device_batch(self, batch: dict[str, Any]) -> dict[str, jnp.ndarray]:
+        bs = mesh_mod.batch_sharding(self.mesh)
+        out = {}
+        B = batch["hq_video"].shape[0]
+        embs = batch.get("prompt_embedding")
+        if embs is None or any(e is None for e in (embs if isinstance(embs, list) else [])):
+            emb = np.broadcast_to(self.empty_prompt[None], (B,) + self.empty_prompt.shape)
+        elif isinstance(embs, list):
+            emb = np.stack(embs)
+        else:
+            emb = embs
+        out["prompt_embeds"] = jax.device_put(np.asarray(emb, np.float32), bs)
+        for k in ("hq_video", "lq_video", "hq_image", "lq_image"):
+            if k in batch and isinstance(batch[k], np.ndarray):
+                out[k] = jax.device_put(batch[k].astype(np.float32), bs)
+        return out
+
+    # ------------------------------------------------------------------
+    # fit / train
+    # ------------------------------------------------------------------
+
+    def fit(self) -> None:
+        args = self.args
+        args.output_dir.mkdir(parents=True, exist_ok=True)
+        args.dump_yaml(args.output_dir / "args.yaml")
+        self._log_file = open(args.output_dir / "train_log.jsonl", "a")
+
+        self.load_components()
+        self.prepare_dataset()
+        steps_per_epoch = max(len(self.loader), 1)
+        total_steps = args.train_steps or steps_per_epoch * args.train_epochs
+        self.prepare_optimizer(total_steps)
+        self.maybe_resume()
+        self.train(total_steps, steps_per_epoch)
+
+    def maybe_resume(self) -> None:
+        args = self.args
+        resume = None
+        if args.resume_from_checkpoint:
+            resume = (
+                int(str(args.resume_from_checkpoint).rsplit("-", 1)[-1]),
+                args.resume_from_checkpoint,
+            )
+        else:
+            resume = ckpt_mod.latest_checkpoint(args.output_dir)
+        if resume is None:
+            return
+        step, path = resume
+        template = {
+            "trainable": self.trainable_params(),
+            "opt_state": self.opt_state,
+        }
+        restored = ckpt_mod.restore_checkpoint(path, template)
+        self._set_trainable(restored["trainable"])
+        self.opt_state = restored["opt_state"]
+        self.global_step = step
+        logger.info("resumed from %s at step %d", path, step)
+
+    def train(self, total_steps: int, steps_per_epoch: int) -> None:
+        args = self.args
+        step_fn = self.build_train_step()
+        rng = jax.random.PRNGKey(args.seed or 0)
+        t_start = time.time()
+        epoch = self.global_step // max(steps_per_epoch, 1)
+
+        with self.mesh:
+            while self.global_step < total_steps:
+                self.loader.set_epoch(epoch)
+                for batch in self.loader:
+                    if self.global_step >= total_steps:
+                        break
+                    rng, step_rng = jax.random.split(rng)
+                    dev_batch = self._device_batch(batch)
+                    trainable, self.opt_state, loss, aux, gnorm = step_fn(
+                        self.trainable_params(), self.opt_state, None,
+                        dev_batch, step_rng,
+                    )
+                    self._set_trainable(trainable)
+                    self.global_step += 1
+
+                    if (
+                        self.global_step % 10 == 0
+                        or self.global_step == total_steps
+                    ):
+                        self.log_step(loss, aux, gnorm, t_start)
+                    if args.stastic_frequency and (
+                        self.global_step % args.stastic_frequency == 0
+                    ):
+                        self.log_memory()
+                    if self.global_step % args.checkpointing_steps == 0:
+                        self.save(self.global_step)
+                    if (
+                        args.do_validation
+                        and args.validation_steps
+                        and self.global_step % args.validation_steps == 0
+                    ):
+                        self.validate(self.global_step)
+                epoch += 1
+
+        self.save(self.global_step)
+        if self._log_file:
+            self._log_file.close()
+
+    # ------------------------------------------------------------------
+    # Logging / checkpoint / validation
+    # ------------------------------------------------------------------
+
+    def log_step(self, loss, aux, gnorm, t_start) -> None:
+        rec = {
+            "step": self.global_step,
+            "loss": float(loss),
+            "grad_norm": float(gnorm),
+            "elapsed_s": round(time.time() - t_start, 1),
+        }
+        rec.update({k: float(v) for k, v in aux.items()})
+        logger.info("%s", rec)
+        if self._log_file:
+            self._log_file.write(json.dumps(rec) + "\n")
+            self._log_file.flush()
+
+    def log_memory(self) -> None:
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            rec = {
+                "step": self.global_step,
+                "bytes_in_use": stats.get("bytes_in_use"),
+                "peak_bytes_in_use": stats.get("peak_bytes_in_use"),
+            }
+            logger.info("memory %s", rec)
+            if self._log_file:
+                self._log_file.write(json.dumps({"memory": rec}) + "\n")
+        except Exception:  # memory_stats unsupported on some backends
+            pass
+
+    def save(self, step: int) -> None:
+        state = {
+            "trainable": self.trainable_params(),
+            "opt_state": self.opt_state,
+        }
+        path = ckpt_mod.save_checkpoint(
+            self.args.output_dir, step, state, limit=self.args.checkpointing_limit
+        )
+        logger.info("saved checkpoint %s", path)
+
+    def export(self, out_dir: str | Path) -> None:
+        """Deployable export (prepare_sft_ckpt / LoRA weights analog)."""
+        if self.args.training_type == "lora":
+            ckpt_mod.export_lora_safetensors(
+                self.lora_params, Path(out_dir) / "pytorch_lora_weights.safetensors"
+            )
+        else:
+            ckpt_mod.export_dit_safetensors(
+                self.dit_params, Path(out_dir) / "transformer",
+                patch_size_t=self.config.dit.patch_size_t,
+                base_config=(
+                    Path(self.args.model_path) / "transformer" / "config.json"
+                    if (Path(self.args.model_path) / "transformer" / "config.json").exists()
+                    else None
+                ),
+            )
+
+    def validate(self, step: int) -> dict[str, float]:
+        """One-step SR on held-out clips + metrics (reference trainer.py:642-871)."""
+        args = self.args
+        if not args.validation_dir:
+            return {}
+        from dove_tpu.eval.metrics import psnr, ssim
+        from dove_tpu.io import video as video_io
+        from dove_tpu.pipeline import DovePipeline
+
+        pipe = DovePipeline(
+            config=self.config,
+            dit_params=self.effective_dit_params(self.trainable_params()),
+            vae_params=self.vae_params,
+            prompt_embedding=jnp.asarray(self.empty_prompt, self.dtype),
+            dtype=self.dtype,
+            donate_input=False,
+        )
+        out_dir = Path(args.output_dir) / "validation_res" / f"Step-{step}"
+        out_dir.mkdir(parents=True, exist_ok=True)
+
+        lq_dir = Path(args.validation_dir)
+        ref_dir = Path(args.validation_ref_videos) if args.validation_ref_videos else None
+        results: dict[str, list[float]] = {"psnr": [], "ssim": []}
+        clips = sorted(
+            p for p in lq_dir.iterdir()
+            if p.suffix.lower() in video_io.VIDEO_EXTS or p.is_dir()
+        )
+        for clip in clips:
+            frames = video_io.load_sequence(clip)
+            sr = pipe.process_frames(frames)
+            video_io.save_video(sr, out_dir / f"{clip.stem}.mp4", fps=args.gen_fps)
+            if ref_dir is not None:
+                ref_path = ref_dir / clip.name
+                if ref_path.exists():
+                    ref = video_io.load_sequence(ref_path)
+                    n = min(len(ref), len(sr))
+                    h = min(ref.shape[1], sr.shape[1])
+                    w = min(ref.shape[2], sr.shape[2])
+                    results["psnr"].append(psnr(sr[:n, :h, :w], ref[:n, :h, :w]))
+                    results["ssim"].append(ssim(sr[:n, :h, :w], ref[:n, :h, :w]))
+        summary = {
+            k: float(np.mean(v)) for k, v in results.items() if v
+        }
+        rec = {"step": step, "validation": summary}
+        logger.info("%s", rec)
+        if self._log_file:
+            self._log_file.write(json.dumps(rec) + "\n")
+            self._log_file.flush()
+        return summary
+
+
+# ---------------------------------------------------------------------------
+# Stage trainers
+# ---------------------------------------------------------------------------
+
+class DOVES1Trainer(Trainer):
+    """Stage 1: latent-space MSE (reference lora_one_s1_trainer.py:116-209)."""
+
+    stage = 1
+
+    def compute_loss(self, trainable, batch, rng):
+        enc_rng, fwd_rng = jax.random.split(rng)
+        dit = self.effective_dit_params(trainable)
+        lq_lat = self._encode(batch["lq_video"], enc_rng)
+        hq_lat = self._encode(batch["hq_video"], jax.random.fold_in(enc_rng, 1))
+        loss_batch = {
+            "lq_latent": lq_lat,
+            "hq_latent": hq_lat,
+            "prompt_embeds": batch["prompt_embeds"],
+        }
+        return losses.stage1_loss(
+            self.config, self.schedule, dit, loss_batch, fwd_rng,
+            remat=self.args.gradient_checkpointing,
+        )
+
+
+class DOVES2Trainer(Trainer):
+    """Stage 2: pixel-space composite loss (reference lora_one_s2_trainer.py)."""
+
+    stage = 2
+
+    def load_components(self) -> None:
+        super().load_components()
+        a = self.args
+        if a.use_perceptual_loss or any(
+            w > 0 for w in (a.dists_weight, a.ea_dists_weight,
+                            a.lpips_weight, a.ea_lpips_weight)
+        ):
+            import os
+
+            if a.ea_dists_weight > 0 or a.dists_weight > 0:
+                kind, edge = "dists", a.ea_dists_weight > 0
+                wpath = os.environ.get("DOVE_DISTS_WEIGHTS")
+            else:
+                kind, edge = "lpips", a.ea_lpips_weight > 0
+                wpath = os.environ.get("DOVE_LPIPS_WEIGHTS")
+            if not wpath:
+                logger.warning(
+                    "no pretrained %s weights (set DOVE_%s_WEIGHTS); using "
+                    "random VGG features", kind, kind.upper(),
+                )
+            self.perceptual_fn = losses.make_perceptual_fn(
+                kind, edge_aware=edge, weights_path=wpath or None
+            )
+
+    def build_train_step(self):
+        base = super().build_train_step()
+        rng_host = np.random.default_rng(self.args.seed or 0)
+        image_ratio = self.args.image_ratio
+
+        def step(trainable, opt_state, _static, batch, rng):
+            # image-vs-video coin flip happens host-side per batch
+            # (reference lora_one_s2_trainer.py:125)
+            use_image = (
+                "hq_image" in batch and rng_host.uniform() < image_ratio
+            )
+            if use_image:
+                batch = {
+                    **batch,
+                    "hq_video": batch["hq_image"],
+                    "lq_video": batch["lq_image"],
+                }
+            batch = {k: v for k, v in batch.items()
+                     if k in ("hq_video", "lq_video", "prompt_embeds")}
+            return base(trainable, opt_state, _static, batch, rng)
+
+        return step
+
+    def compute_loss(self, trainable, batch, rng):
+        enc_rng, fwd_rng = jax.random.split(rng)
+        dit = self.effective_dit_params(trainable)
+        lq_lat = self._encode(batch["lq_video"], enc_rng, per_frame=True)
+        loss_batch = {
+            "lq_latent": lq_lat,
+            "hq_video": batch["hq_video"],
+            "prompt_embeds": batch["prompt_embeds"],
+        }
+        a = self.args
+        perceptual_weight = (
+            a.dists_weight + a.ea_dists_weight + a.lpips_weight + a.ea_lpips_weight
+        )
+        return losses.stage2_loss(
+            self.config, self.schedule, dit, self.vae_params, loss_batch, fwd_rng,
+            pixel_weight=1.0,
+            perceptual_weight=perceptual_weight,
+            frame_diff_weight=a.frame_diff_weight,
+            perceptual_fn=self.perceptual_fn,
+            remat=a.gradient_checkpointing,
+        )
+
+
+for _name, _cls in (("dove-s1", DOVES1Trainer), ("dove-s2", DOVES2Trainer)):
+    register(_name, "lora", _cls)
+    register(_name, "sft", _cls)  # SFT = same math, whole-DiT trainable

@@ -1,0 +1,56 @@
+"""Pallas flash attention vs the naive fp32 oracle (interpreter mode, CPU)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dove_tpu.ops.attention import _naive_attention
+from dove_tpu.ops.pallas.flash_attention import flash_attention
+
+
+def _rand_qkv(key, B, H, S, D, dtype=jnp.float32):
+    ks = jax.random.split(key, 3)
+    mk = lambda k: jax.random.normal(k, (B, H, S, D), dtype)
+    return mk(ks[0]), mk(ks[1]), mk(ks[2])
+
+
+@pytest.mark.parametrize("S", [128, 226, 640])
+def test_flash_matches_naive(S):
+    q, k, v = _rand_qkv(jax.random.PRNGKey(0), 1, 2, S, 64)
+    out = flash_attention(q, k, v, None, 256, 256)
+    ref = _naive_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_grads_match_naive():
+    S = 200  # not a block multiple: exercises padding/masking in fwd+bwd
+    q, k, v = _rand_qkv(jax.random.PRNGKey(1), 1, 2, S, 64)
+    tangent = jax.random.normal(jax.random.PRNGKey(2), q.shape)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, None, 128, 128) * tangent)
+
+    def loss_naive(q, k, v):
+        return jnp.sum(_naive_attention(q, k, v) * tangent)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_naive = jax.grad(loss_naive, argnums=(0, 1, 2))(q, k, v)
+    for gf, gn, name in zip(g_flash, g_naive, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gn), atol=5e-4, err_msg=f"d{name}"
+        )
+
+
+def test_flash_bf16_close():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(3), 1, 2, 256, 64, jnp.bfloat16)
+    out = flash_attention(q, k, v, None, 128, 128)
+    ref = _naive_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
+    )
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), atol=3e-2
+    )

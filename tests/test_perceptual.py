@@ -1,0 +1,58 @@
+"""LPIPS / DISTS structural invariants (random weights; pretrained parity
+requires exported weight files unavailable in this environment)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dove_tpu.eval.vgg import (
+    dists_distance,
+    init_dists_weights,
+    init_vgg16,
+    lpips_distance,
+    vgg16_features,
+)
+
+
+def _imgs(key, n=2, s=32):
+    return jax.random.uniform(key, (n, s, s, 3))
+
+
+def test_vgg_feature_shapes():
+    vgg = init_vgg16(jax.random.PRNGKey(0))
+    x = _imgs(jax.random.PRNGKey(1), 1, 64)
+    feats = vgg16_features(vgg, x)
+    assert [f.shape for f in feats] == [
+        (1, 64, 64, 64), (1, 32, 32, 128), (1, 16, 16, 256),
+        (1, 8, 8, 512), (1, 4, 4, 512),
+    ]
+    feats_l2 = vgg16_features(vgg, x, pool="l2")
+    assert feats_l2[-1].shape == (1, 4, 4, 512)
+
+
+def test_lpips_invariants():
+    vgg = init_vgg16(jax.random.PRNGKey(0))
+    lins = [jnp.ones((c,), jnp.float32) for c in (64, 128, 256, 512, 512)]
+    x = _imgs(jax.random.PRNGKey(1)) * 2 - 1
+    y = _imgs(jax.random.PRNGKey(2)) * 2 - 1
+    d_xx = lpips_distance(vgg, lins, x, x)
+    d_xy = lpips_distance(vgg, lins, x, y)
+    assert d_xx.shape == (2,)
+    np.testing.assert_allclose(np.asarray(d_xx), 0.0, atol=1e-5)
+    assert float(d_xy.min()) > 0
+
+
+def test_dists_invariants_and_grads():
+    vgg = init_vgg16(jax.random.PRNGKey(0))
+    alpha, beta = init_dists_weights()
+    x = _imgs(jax.random.PRNGKey(1))
+    y = _imgs(jax.random.PRNGKey(2))
+    d_xx = dists_distance(vgg, alpha, beta, x, x)
+    d_xy = dists_distance(vgg, alpha, beta, x, y)
+    np.testing.assert_allclose(np.asarray(d_xx), 0.0, atol=1e-5)
+    assert float(d_xy.min()) > 0
+
+    # differentiable (used as the stage-2 training loss)
+    g = jax.grad(lambda a: jnp.mean(dists_distance(vgg, alpha, beta, a, y)))(x)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0

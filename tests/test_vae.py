@@ -108,3 +108,41 @@ def test_roundtrip_is_stable(setup):
     z = sample_latent(m, None, cfg.scaling_factor) / cfg.scaling_factor
     y = decode(cfg, params, z)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_tiled_encode_decode_close_to_untiled():
+    """Feathered tiling must (a) be exact when tiles cover the input, and
+    (b) stay close to the untiled result when tiling actually splits."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dove_tpu.config import tiny_test
+    from dove_tpu.models import vae as vae_mod
+
+    cfg = tiny_test().vae
+    params = vae_mod.init_vae_params(jax.random.PRNGKey(0), cfg)
+    video = jax.random.uniform(jax.random.PRNGKey(1), (1, 5, 64, 64, 3)) * 2 - 1
+
+    ref_m = vae_mod.encode_moments(cfg, params, video)
+    tiled_m = vae_mod.tiled_encode_moments(cfg, params, video)  # 32px tiles
+    assert tiled_m.shape == ref_m.shape
+    # Tiling is approximate by design (per-tile GroupNorm stats + boundary
+    # padding); with *random* weights divergence is large, so assert only
+    # structural sanity: finite and magnitude in the same ballpark.
+    assert bool(jnp.isfinite(tiled_m).all())
+    scale = float(jnp.abs(ref_m).mean())
+    assert float(jnp.abs(tiled_m).mean()) < 5 * scale + 1.0
+
+    lat = vae_mod.sample_latent(ref_m, None, 1.0)
+    ref_px = vae_mod.decode(cfg, params, lat)
+    tiled_px = vae_mod.tiled_decode(cfg, params, lat)
+    assert tiled_px.shape == ref_px.shape
+    assert bool(jnp.isfinite(tiled_px).all())
+
+    # degenerate: tile >= input -> bitwise identical path
+    small = video[:, :, :32, :32]
+    np.testing.assert_array_equal(
+        np.asarray(vae_mod.tiled_encode_moments(cfg, params, small)),
+        np.asarray(vae_mod.encode_moments(cfg, params, small)),
+    )
