@@ -30,6 +30,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Opt-in persistent compilation cache (set DOVE_JAX_CACHE=/path). Not on by
+# default: remote-compile TPU tunnels may bypass or slow down the disk cache.
+import os as _os
+
+if _os.environ.get("DOVE_JAX_CACHE"):
+    jax.config.update("jax_compilation_cache_dir", _os.environ["DOVE_JAX_CACHE"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 BASELINE_CLIP_SECONDS = 14.90  # DOVE on A100-class GPU (BASELINE.md)
 
 
@@ -68,6 +76,9 @@ def main():
     ap.add_argument("--chunk_len", type=int, default=17)
     ap.add_argument("--tile", type=int, nargs=2, default=(384, 384))
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--tile_batch", type=int, default=1)
+    ap.add_argument("--profile", type=str, default=None,
+                    help="write a jax.profiler trace to this directory")
     args = ap.parse_args()
 
     if args.tiny:
@@ -87,19 +98,28 @@ def main():
         frames,
         chunk_len=args.chunk_len,
         tile_size_hw=tuple(args.tile),
+        tile_batch=args.tile_batch,
     )
     compile_and_first = time.time() - t0
 
     # Timed passes (compiled).
+    import contextlib
+
+    profile_ctx = (
+        jax.profiler.trace(args.profile) if args.profile
+        else contextlib.nullcontext()
+    )
     times = []
-    for _ in range(args.repeats):
-        t0 = time.time()
-        out = pipe.process_frames(
-            frames,
-            chunk_len=args.chunk_len,
-            tile_size_hw=tuple(args.tile),
-        )
-        times.append(time.time() - t0)
+    with profile_ctx:
+        for _ in range(args.repeats):
+            t0 = time.time()
+            out = pipe.process_frames(
+                frames,
+                chunk_len=args.chunk_len,
+                tile_size_hw=tuple(args.tile),
+                tile_batch=args.tile_batch,
+            )
+            times.append(time.time() - t0)
     clip_seconds = min(times)
 
     out_frames = out.shape[0]

@@ -151,8 +151,13 @@ class DovePipeline:
         """
         upscale = self.config.upscale if upscale is None else upscale
         padded, (pad_f, pad_h, pad_w) = tiling.pad_video(frames)
-        up = video_io.bilinear_upscale(padded, upscale)
-        up = up * 2.0 - 1.0  # [-1, 1]
+        from dove_tpu import native
+
+        if native.available():
+            # multithreaded C++ upscale with the [-1,1] normalize fused in
+            up = native.upscale_bilinear(padded, upscale, normalize=True)
+        else:
+            up = video_io.bilinear_upscale(padded, upscale) * 2.0 - 1.0
 
         F, H, W, _ = up.shape
         tiles = tiling.plan_tiles(
@@ -167,7 +172,14 @@ class DovePipeline:
             F, H, W, len(tiles), tile_batch, len(geoms), sorted(geoms),
         )
 
-        stitcher = tiling.Stitcher(3, F, H, W, effective_ot, overlap_hw)
+        if native.available():
+            stitcher = native.NativeStitcher(
+                3, F, H, W, effective_ot, overlap_hw
+            )
+            to_stitch = lambda o: o  # native takes [f, h, w, C] directly
+        else:
+            stitcher = tiling.Stitcher(3, F, H, W, effective_ot, overlap_hw)
+            to_stitch = lambda o: o.transpose(3, 0, 1, 2)
         rng = jax.random.PRNGKey(seed)
 
         def tile_data(t: tiling.Tile) -> tuple[np.ndarray, int]:
@@ -193,6 +205,16 @@ class DovePipeline:
 
             sharding = NamedSharding(mesh, P("data"))
 
+        # Async dispatch: materialize batch k's result only after batch k+1
+        # is enqueued, overlapping host stitching with device compute.
+        pending: tuple | None = None
+
+        def drain(p):
+            out, batch_tiles, nfs, n_real = p
+            out_np = np.asarray(out[:n_real], np.float32)
+            for t, nf, o in zip(batch_tiles, nfs, out_np):
+                stitcher.add(t, to_stitch(o[:nf]))
+
         for group in by_geom.values():
             for s in range(0, len(group), tile_batch):
                 batch_tiles = group[s : s + tile_batch]
@@ -209,9 +231,11 @@ class DovePipeline:
                     self.dit_params, self.vae_params, self.prompt_embedding,
                     batch, step_rng,
                 )
-                out_np = np.asarray(out[:n_real], np.float32)
-                for t, nf, o in zip(batch_tiles, nfs, out_np):
-                    stitcher.add(t, o[:nf].transpose(3, 0, 1, 2))
+                if pending is not None:
+                    drain(pending)
+                pending = (out, batch_tiles, nfs, n_real)
+        if pending is not None:
+            drain(pending)
 
         result = stitcher.finalize()  # [3, F, H, W]
         result = tiling.unpad_video(result, pad_f, pad_h * upscale, pad_w * upscale)

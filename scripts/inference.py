@@ -28,6 +28,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os as _os
+
+if _os.environ.get("DOVE_JAX_CACHE"):
+    jax.config.update("jax_compilation_cache_dir", _os.environ["DOVE_JAX_CACHE"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="VSR using DOVE (TPU-native)")
@@ -60,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--overlap_hw", type=int, nargs=2, default=(32, 32))
     p.add_argument("--chunk_len", type=int, default=0)
     p.add_argument("--overlap_t", type=int, default=8)
+    p.add_argument("--tile_batch", type=int, default=1,
+                   help="batch same-geometry tiles through one device call")
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="shard tile batches over an N-chip data mesh")
     return p
 
 
@@ -153,7 +163,39 @@ def main(argv=None):
     metric_names = [m.strip() for m in args.eval_metrics.split(",") if m.strip()]
     accumulator = MetricAccumulator(metric_names) if metric_names else None
 
+    mesh = None
+    if args.data_parallel > 1:
+        from dove_tpu.parallel.mesh import make_mesh, shard_params
+
+        mesh = make_mesh(data=args.data_parallel, model=1)
+        pipe.dit_params = shard_params(pipe.dit_params, mesh)
+        pipe.vae_params = shard_params(pipe.vae_params, mesh)
+
+    prompt_map = {}
+    prompt_encoder = None
+    if args.input_json:
+        prompt_map = json.loads(Path(args.input_json).read_text())
+        if any(prompt_map.values()) and args.model_path and (
+            Path(args.model_path) / "text_encoder"
+        ).exists():
+            from dove_tpu.models.t5 import PromptEncoder
+
+            prompt_encoder = PromptEncoder(
+                args.model_path, max_length=pipe.config.dit.max_text_seq_length
+            )
+
+    default_prompt_embedding = pipe.prompt_embedding
     for vpath in videos:
+        prompt = prompt_map.get(vpath.name, prompt_map.get(vpath.stem, ""))
+        if prompt and prompt_encoder is not None:
+            pipe.prompt_embedding = jnp.asarray(prompt_encoder(prompt), pipe.dtype)
+        else:
+            if prompt:
+                logging.warning(
+                    "prompt for %s ignored (no text_encoder in --model_path)",
+                    vpath.name,
+                )
+            pipe.prompt_embedding = default_prompt_embedding
         t0 = time.time()
         out = pipe.process_video_file(
             vpath,
@@ -163,6 +205,8 @@ def main(argv=None):
             overlap_t=args.overlap_t,
             overlap_hw=tuple(args.overlap_hw),
             seed=args.seed,
+            tile_batch=args.tile_batch,
+            mesh=mesh,
         )
         dt = time.time() - t0
         logging.info("%s: %s in %.2fs (%.2f frames/s)",
