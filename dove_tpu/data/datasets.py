@@ -193,6 +193,9 @@ class RealSRDataset:
         cache_prompts: bool = True,
         prompt_cache: str = "prompt_embeddings",
         encode_text=None,  # callable prompt -> np [L, D]; None = cache-only
+        is_latent: bool = False,
+        encode_video=None,  # callable [F,H,W,3] in [-1,1] -> latent np array
+        model_name: str = "model",
         seed: int = 0,
     ) -> None:
         self.data_root = Path(data_root)
@@ -235,6 +238,18 @@ class RealSRDataset:
             self.prompt_cache_dir / f"{EMPTY_PROMPT_SHA}.safetensors",
             "prompt_embedding",
         )
+
+        # Latent cache (reference layout: data_root/cache/video_latent/
+        # {hq,lq}/<model>/<FxHxW>/<stem>.safetensors). Caching freezes one
+        # degradation draw per clip, same trade-off as the reference.
+        self.is_latent = is_latent
+        self.encode_video = encode_video
+        res_str = f"{max_num_frames}x{height}x{width}"
+        self.latent_dirs = {
+            kind: self.data_root / "cache" / "video_latent" / kind
+            / model_name / res_str
+            for kind in ("hq", "lq")
+        }
 
     def __len__(self) -> int:
         return len(self.videos)
@@ -308,6 +323,37 @@ class RealSRDataset:
         if rng.uniform() < self.empty_ratio:
             prompt = ""
         prompt, emb = self._prompt_embedding(prompt)
+
+        if self.is_latent:
+            stem = self.videos[index].stem
+            hq_lat = _load_safetensor(
+                self.latent_dirs["hq"] / f"{stem}.safetensors", "latent"
+            )
+            lq_lat = _load_safetensor(
+                self.latent_dirs["lq"] / f"{stem}.safetensors", "latent"
+            )
+            if hq_lat is None or lq_lat is None:
+                if self.encode_video is None:
+                    raise RuntimeError(
+                        "is_latent=True but no cached latents and no "
+                        "encode_video fn (run the precompute pass first)"
+                    )
+                hq, lq = self._paired_clip(self.videos[index], rng)
+                hq_lat = np.asarray(self.encode_video(hq))
+                lq_lat = np.asarray(self.encode_video(lq))
+                _save_safetensor(
+                    self.latent_dirs["hq"] / f"{stem}.safetensors", "latent", hq_lat
+                )
+                _save_safetensor(
+                    self.latent_dirs["lq"] / f"{stem}.safetensors", "latent", lq_lat
+                )
+            return {
+                "prompt": prompt,
+                "prompt_embedding": emb,
+                "hq_latent": hq_lat,
+                "lq_latent": lq_lat,
+            }
+
         hq, lq = self._paired_clip(self.videos[index], rng)
         return {
             "prompt": prompt,

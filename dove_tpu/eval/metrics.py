@@ -121,6 +121,20 @@ def get_metric(name: str) -> Callable:
         from dove_tpu.eval.dists import dists_metric
 
         return dists_metric()
+    if name in ("ewarp", "e*warp", "warping_error"):
+        import os
+
+        path = os.environ.get("DOVE_RAFT_WEIGHTS")
+        if not path or not os.path.exists(path):
+            raise NotImplementedError(
+                "E*warp needs RAFT weights: set DOVE_RAFT_WEIGHTS to a local "
+                "raft-things.pth (the reference uses the same checkpoint)"
+            )
+        from dove_tpu.eval.ewarp import ewarp_clip
+        from dove_tpu.models.raft import load_raft
+
+        params = load_raft(path)
+        return lambda pred: ewarp_clip(params, pred)
     return _unavailable(name)
 
 

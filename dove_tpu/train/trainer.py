@@ -193,6 +193,12 @@ class Trainer:
             prompt_cache=args.prompt_cache,
             seed=args.seed or 0,
         )
+        if args.is_latent:
+            common.update(
+                is_latent=True,
+                encode_video=self._encode_np,
+                model_name=args.model_name,
+            )
         if args.model_type == "real-sr":
             self.dataset = RealSRDataset(**common)
         else:
@@ -275,6 +281,11 @@ class Trainer:
             lat = lat.reshape((B, F) + lat.shape[2:])
         return jax.lax.stop_gradient(lat)
 
+    def _encode_np(self, frames: np.ndarray) -> np.ndarray:
+        """Host helper for the latent precompute pass: [F,H,W,3] -> latent."""
+        lat = self._encode(jnp.asarray(frames[None]), None)
+        return np.asarray(lat[0], np.float32)
+
     def build_train_step(self):
         optimizer = self.optimizer
 
@@ -303,7 +314,9 @@ class Trainer:
     def _device_batch(self, batch: dict[str, Any]) -> dict[str, jnp.ndarray]:
         bs = mesh_mod.batch_sharding(self.mesh)
         out = {}
-        B = batch["hq_video"].shape[0]
+        B = next(
+            v.shape[0] for v in batch.values() if isinstance(v, np.ndarray)
+        )
         embs = batch.get("prompt_embedding")
         if embs is None or any(e is None for e in (embs if isinstance(embs, list) else [])):
             emb = np.broadcast_to(self.empty_prompt[None], (B,) + self.empty_prompt.shape)
@@ -312,7 +325,8 @@ class Trainer:
         else:
             emb = embs
         out["prompt_embeds"] = jax.device_put(np.asarray(emb, np.float32), bs)
-        for k in ("hq_video", "lq_video", "hq_image", "lq_image"):
+        for k in ("hq_video", "lq_video", "hq_image", "lq_image",
+                  "hq_latent", "lq_latent"):
             if k in batch and isinstance(batch[k], np.ndarray):
                 out[k] = jax.device_put(batch[k].astype(np.float32), bs)
         return out
@@ -524,8 +538,12 @@ class DOVES1Trainer(Trainer):
     def compute_loss(self, trainable, batch, rng):
         enc_rng, fwd_rng = jax.random.split(rng)
         dit = self.effective_dit_params(trainable)
-        lq_lat = self._encode(batch["lq_video"], enc_rng)
-        hq_lat = self._encode(batch["hq_video"], jax.random.fold_in(enc_rng, 1))
+        if "lq_latent" in batch:  # is_latent: precomputed/cached latents
+            lq_lat = batch["lq_latent"]
+            hq_lat = batch["hq_latent"]
+        else:
+            lq_lat = self._encode(batch["lq_video"], enc_rng)
+            hq_lat = self._encode(batch["hq_video"], jax.random.fold_in(enc_rng, 1))
         loss_batch = {
             "lq_latent": lq_lat,
             "hq_latent": hq_lat,

@@ -225,3 +225,17 @@ def test_stage2_sft_image_video(data_dir, tmp_path):
     trainer.export(out / "export")
     exported = list((out / "export" / "transformer").glob("*.safetensors"))
     assert exported
+
+
+def test_stage1_latent_cache(data_dir, tmp_path):
+    """is_latent: first epoch fills the cache, training consumes latents."""
+    out = tmp_path / "s1lat"
+    args = _base_args(data_dir, out, train_steps=1, is_latent=True)
+    trainer = DOVES1Trainer(args)
+    trainer.fit()
+    cache = list((data_dir / "cache" / "video_latent").rglob("*.safetensors"))
+    assert len(cache) == 4  # hq + lq for 2 clips
+    rec = json.loads(
+        (out / "train_log.jsonl").read_text().strip().splitlines()[-1]
+    )
+    assert np.isfinite(rec["loss"])
