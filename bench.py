@@ -4,11 +4,12 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Scenario matches the reference's headline number (BASELINE.md): a 100-frame
-720p-output clip through the full tiled one-step pipeline (VAE encode -> 5B
-DiT -> velocity->x0 -> VAE decode per tile). Baseline: DOVE runs one clip in
-14.90 s on A100-class GPU; vs_baseline = baseline_time / our_time (>1 is
-faster than the reference).
+Scenario matches the reference's headline benchmark (BASELINE.md +
+inference.sh): a UDM10-style clip (32 frames, 180x320 LQ -> 720x1280 output)
+through the reference-default mode — full-frame one-step DiT with internal
+feathered VAE tiling (--is_vae_st), no outer tiles. Baseline: DOVE runs one
+clip in 14.90 s on A100-class GPU; vs_baseline = baseline_time / our_time
+(>1 is faster than the reference).
 
 Weights are zeros (no released checkpoint in this environment) — identical
 compute/memory profile to real weights.
@@ -45,7 +46,7 @@ def zeros_tree(shapes):
     return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
 
-def build_pipeline(tiny: bool):
+def build_pipeline(tiny: bool, vae_tiling: bool = True):
     from dove_tpu.config import cogvideox1_5_5b, tiny_test
     from dove_tpu.models.dit import init_dit_params
     from dove_tpu.models.vae import init_vae_params
@@ -64,17 +65,20 @@ def build_pipeline(tiny: bool):
         vae_params=zeros_tree(vae_shapes),
         prompt_embedding=prompt,
         dtype=dtype,
+        vae_tiling=vae_tiling,
     )
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true", help="CPU smoke run")
-    ap.add_argument("--frames", type=int, default=100)
+    ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--height", type=int, default=180, help="LQ input height")
     ap.add_argument("--width", type=int, default=320, help="LQ input width")
-    ap.add_argument("--chunk_len", type=int, default=17)
-    ap.add_argument("--tile", type=int, nargs=2, default=(384, 384))
+    ap.add_argument("--chunk_len", type=int, default=0)
+    ap.add_argument("--tile", type=int, nargs=2, default=(0, 0))
+    ap.add_argument("--no_vae_tiling", action="store_true",
+                    help="use the outer pixel-space tiler instead")
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--tile_batch", type=int, default=1)
     ap.add_argument("--profile", type=str, default=None,
@@ -85,7 +89,7 @@ def main():
         args.frames, args.height, args.width = 9, 32, 32
         args.chunk_len, args.tile = 0, (0, 0)
 
-    pipe = build_pipeline(args.tiny)
+    pipe = build_pipeline(args.tiny, vae_tiling=not args.no_vae_tiling)
 
     from dove_tpu import tiling
 

@@ -357,14 +357,20 @@ def _blend_h(a: jnp.ndarray, b: jnp.ndarray, extent: int) -> jnp.ndarray:
 
 
 def tiled_encode_moments(
-    cfg: VAEConfig, params: Params, video: jnp.ndarray, chunk_frames: int | None = None
+    cfg: VAEConfig, params: Params, video: jnp.ndarray,
+    chunk_frames: int | None = None, encode_fn=None,
 ) -> jnp.ndarray:
-    """Tiled full-clip encode. video: [B, F, H, W, 3] -> moments (feathered)."""
+    """Tiled full-clip encode. video: [B, F, H, W, 3] -> moments (feathered).
+
+    encode_fn overrides the per-tile encoder (e.g. a jitted closure so the
+    host-side tile loop reuses one compiled program per tile geometry)."""
+    if encode_fn is None:
+        encode_fn = lambda tile: encode_moments(cfg, params, tile, chunk_frames)
     H, W = video.shape[2], video.shape[3]
     s = cfg.spatial_scale
     tile_h, tile_w = cfg.tile_sample_min_height, cfg.tile_sample_min_width
     if H <= tile_h and W <= tile_w:
-        return encode_moments(cfg, params, video, chunk_frames)
+        return encode_fn(video)
     lat_h, lat_w = tile_h // s, tile_w // s
     overlap_h = int(tile_h * (1 - cfg.tile_overlap_factor_height))
     overlap_w = int(tile_w * (1 - cfg.tile_overlap_factor_width))
@@ -378,7 +384,7 @@ def tiled_encode_moments(
         row = []
         for j in range(0, W, overlap_w):
             tile = video[:, :, i : i + tile_h, j : j + tile_w]
-            row.append(encode_moments(cfg, params, tile, chunk_frames))
+            row.append(encode_fn(tile))
         rows.append(row)
 
     result_rows = []
@@ -397,15 +403,18 @@ def tiled_encode_moments(
 
 
 def tiled_decode(
-    cfg: VAEConfig, params: Params, latent: jnp.ndarray, chunk_frames: int | None = None
+    cfg: VAEConfig, params: Params, latent: jnp.ndarray,
+    chunk_frames: int | None = None, decode_fn=None,
 ) -> jnp.ndarray:
     """Tiled full-clip decode. latent: [B, F', h, w, C] (unscaled) -> pixels."""
+    if decode_fn is None:
+        decode_fn = lambda tile: decode(cfg, params, tile, chunk_frames)
     h, w = latent.shape[2], latent.shape[3]
     s = cfg.spatial_scale
     tile_h, tile_w = cfg.tile_sample_min_height, cfg.tile_sample_min_width
     lat_h, lat_w = tile_h // s, tile_w // s
     if h <= lat_h and w <= lat_w:
-        return decode(cfg, params, latent, chunk_frames)
+        return decode_fn(latent)
     overlap_h = int(lat_h * (1 - cfg.tile_overlap_factor_height))
     overlap_w = int(lat_w * (1 - cfg.tile_overlap_factor_width))
     blend_h = int(tile_h * cfg.tile_overlap_factor_height)
@@ -418,7 +427,7 @@ def tiled_decode(
         row = []
         for j in range(0, w, overlap_w):
             tile = latent[:, :, i : i + lat_h, j : j + lat_w]
-            row.append(decode(cfg, params, tile, chunk_frames))
+            row.append(decode_fn(tile))
         rows.append(row)
 
     result_rows = []

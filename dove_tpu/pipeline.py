@@ -47,10 +47,12 @@ class DovePipeline:
     attention_backend: str | None = None
     sample_posterior: bool = True  # reference samples latent_dist at inference
     donate_input: bool = True
+    vae_tiling: bool = False  # --is_vae_st: internal VAE tiling, no outer tiles
 
     def __post_init__(self):
         self.schedule = Schedule.create(self.config.scheduler)
         self._compiled: dict[tuple, Callable] = {}
+        self._staged: dict[str, Callable] = {}
 
     # ------------------------------------------------------------------
     # Device-side one-step SR for a single tile
@@ -115,6 +117,65 @@ class DovePipeline:
 
         return sr_tile
 
+    # ------------------------------------------------------------------
+    # Staged full-clip path (reference default: --is_vae_st, no outer tiles;
+    # inference.sh runs all 6 benchmarks this way). Three jitted programs —
+    # VAE-tile encode, full-clip DiT step, VAE-tile decode — so the host-side
+    # feathered VAE tiling reuses ONE compiled program per tile geometry
+    # instead of unrolling every tile into a single giant XLA program.
+    # ------------------------------------------------------------------
+
+    def _staged_fns(self):
+        if self._staged:
+            return self._staged
+        cfg = self.config
+
+        enc = jax.jit(
+            lambda params, tile: vae_mod.encode_moments(cfg.vae, params, tile)
+        )
+        dec = jax.jit(
+            lambda params, tile: vae_mod.decode(cfg.vae, params, tile)
+        )
+
+        def dit_step(dit_params, prompt, latent, rng):
+            # latent: [B, F', h, w, C] scaled
+            from dove_tpu.train.losses import one_step_x0_latent
+
+            B = latent.shape[0]
+            text = jnp.broadcast_to(prompt[None], (B,) + prompt.shape)
+            x0 = one_step_x0_latent(
+                cfg, self.schedule, dit_params, latent, text,
+                rng, remat=False, attention_backend=self.attention_backend,
+            )
+            return x0 / jnp.asarray(cfg.vae.scaling_factor, x0.dtype)
+
+        self._staged = {"enc": enc, "dec": dec, "dit": jax.jit(dit_step)}
+        return self._staged
+
+    def _sr_clip_staged(self, clip: np.ndarray, rng: jax.Array) -> np.ndarray:
+        """One temporal chunk at full spatial size with internal VAE tiling.
+        clip: [F, H, W, 3] np float32 in [-1, 1] -> [F, H, W, 3] in [0, 1]."""
+        fns = self._staged_fns()
+        cfg = self.config
+        video = jnp.asarray(clip[None], self.dtype)
+        enc_rng, noise_rng = jax.random.split(rng)
+
+        moments = vae_mod.tiled_encode_moments(
+            cfg.vae, self.vae_params, video,
+            encode_fn=lambda t: fns["enc"](self.vae_params, t),
+        )
+        latent = vae_mod.sample_latent(
+            moments, enc_rng if self.sample_posterior else None,
+            cfg.vae.scaling_factor,
+        )
+        z = fns["dit"](self.dit_params, self.prompt_embedding, latent, noise_rng)
+        pixels = vae_mod.tiled_decode(
+            cfg.vae, self.vae_params, z,
+            decode_fn=lambda t: fns["dec"](self.vae_params, t),
+        )
+        out = jnp.clip(pixels.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
+        return np.asarray(out[0], np.float32)
+
     def compiled_sr(self, shape: tuple) -> Callable:
         """jit-compiled sr_tile for a given [B, F, H, W, 3] tile shape."""
         if shape not in self._compiled:
@@ -160,6 +221,32 @@ class DovePipeline:
             up = video_io.bilinear_upscale(padded, upscale) * 2.0 - 1.0
 
         F, H, W, _ = up.shape
+
+        if self.vae_tiling and tuple(tile_size_hw) == (0, 0):
+            # Reference-default path: full-frame DiT, VAE handles memory.
+            effective_ot = overlap_t if chunk_len > 0 else 0
+            stitcher = tiling.Stitcher(3, F, H, W, effective_ot, (0, 0))
+            rng = jax.random.PRNGKey(seed)
+            for ts, te in tiling.temporal_chunks(F, chunk_len, effective_ot):
+                data = up[ts:te]
+                nf = data.shape[0]
+                valid_nf = tiling.next_valid_frames(nf)
+                if valid_nf != nf:
+                    data = np.concatenate(
+                        [data, np.repeat(data[-1:], valid_nf - nf, axis=0)],
+                        axis=0,
+                    )
+                rng, step_rng = jax.random.split(rng)
+                out = self._sr_clip_staged(data, step_rng)[:nf]
+                stitcher.add(
+                    tiling.Tile(ts, te, 0, H, 0, W), out.transpose(3, 0, 1, 2)
+                )
+            result = stitcher.finalize()
+            result = tiling.unpad_video(
+                result, pad_f, pad_h * upscale, pad_w * upscale
+            )
+            return result.transpose(1, 2, 3, 0)
+
         tiles = tiling.plan_tiles(
             F, H, W, chunk_len, tile_size_hw, overlap_t, overlap_hw
         )

@@ -60,6 +60,16 @@ def restore_checkpoint(path: str | Path, template: Any) -> Any:
         return ckptr.restore(Path(path).resolve(), template)
 
 
+def restore_subtree(path: str | Path, key: str) -> Any:
+    """Restore one top-level entry (e.g. "trainable") without knowing the
+    rest of the saved structure (used by the export/packaging CLI)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        full = ckptr.restore(Path(path).resolve())
+    return full[key]
+
+
 def list_checkpoints(output_dir: str | Path) -> list[tuple[int, Path]]:
     out = []
     for p in Path(output_dir).glob(f"{CHECKPOINT_PREFIX}*"):

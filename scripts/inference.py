@@ -59,7 +59,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--is_cpu_offload", action="store_true",
                    help="accepted for parity; TPU path relies on tiling instead")
     p.add_argument("--is_vae_st", action="store_true",
-                   help="accepted for parity; VAE slicing is always on")
+                   help="VAE slicing+tiling: full-frame DiT, feathered VAE "
+                        "tiles handle memory (the reference's default mode)")
     p.add_argument("--png_save", action="store_true")
     p.add_argument("--save_format", type=str, default="yuv444p")
     p.add_argument("--tile_size_hw", type=int, nargs=2, default=(0, 0))
@@ -141,6 +142,7 @@ def load_pipeline(args):
     return DovePipeline(
         config=cfg, dit_params=dit_params, vae_params=vae_params,
         prompt_embedding=prompt_embedding, dtype=dtype,
+        vae_tiling=args.is_vae_st,
     )
 
 
