@@ -159,10 +159,24 @@ def _load_safetensor(path: Path, key: str) -> np.ndarray | None:
 
 
 def _save_safetensor(path: Path, key: str, value: np.ndarray) -> None:
+    """Atomic write (tmp + rename): loader worker threads may race on the
+    same cache entry; the reference mitigates this with a single-threaded
+    precompute pass (real_sr_dataset.py '不能多进程处理' comments) — atomic
+    renames make concurrent fills safe instead."""
+    import os
+    import tempfile
+
     from safetensors.numpy import save_file
 
     path.parent.mkdir(parents=True, exist_ok=True)
-    save_file({key: np.ascontiguousarray(value)}, str(path))
+    fd, tmp = tempfile.mkstemp(dir=path.parent, suffix=".tmp")
+    os.close(fd)
+    try:
+        save_file({key: np.ascontiguousarray(value)}, tmp)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 # ---------------------------------------------------------------------------

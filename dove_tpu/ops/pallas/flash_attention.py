@@ -72,10 +72,13 @@ def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
 def _fwd_kernel(
     q_ref, k_ref, v_ref,  # [1, block, D]
     o_ref,                # [1, block_q, D]
-    lse_ref,              # [1, block_q, LANES]
-    m_scr, l_scr, acc_scr,
-    *, scale: float, kv_len: int, block_k: int,
+    *rest,                # [lse_ref when with_lse] + scratch
+    scale: float, kv_len: int, block_k: int, with_lse: bool,
 ):
+    if with_lse:
+        lse_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        m_scr, l_scr, acc_scr = rest
     kj = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -113,14 +116,18 @@ def _fwd_kernel(
     def _finish():
         l = l_scr[:, :1]
         o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
-        lse_ref[0] = m_scr[:] + jnp.log(l_scr[:])
+        if with_lse:
+            lse_ref[0] = m_scr[:] + jnp.log(l_scr[:])
 
 
 def _flash_fwd(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-    scale: float, block_q: int, block_k: int,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """q: [BH, Sq, D]; k, v: [BH, Skv, D] -> (out [BH, Sq, D], lse [BH, Sq])."""
+    scale: float, block_q: int, block_k: int, with_lse: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray | None]:
+    """q: [BH, Sq, D]; k, v: [BH, Skv, D] -> (out [BH, Sq, D], lse [BH, Sq]).
+
+    with_lse=False (inference) skips the fp32 logsumexp HBM buffer — at
+    S=18k x 48 heads that buffer alone is ~0.5 GB."""
     bh, sq, d = q.shape
     kv_len = k.shape[1]
     block_q = _pick_block(sq, block_q)
@@ -133,9 +140,19 @@ def _flash_fwd(
     nk = kp.shape[1] // block_k
 
     kernel = functools.partial(
-        _fwd_kernel, scale=scale, kv_len=kv_len, block_k=block_k
+        _fwd_kernel, scale=scale, kv_len=kv_len, block_k=block_k,
+        with_lse=with_lse,
     )
-    out, lse = pl.pallas_call(
+    out_specs = [pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0))]
+    out_shape = [jax.ShapeDtypeStruct(qp.shape, q.dtype)]
+    if with_lse:
+        out_specs.append(
+            pl.BlockSpec((1, block_q, LANES), lambda b, i, j: (b, i, 0))
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((bh, qp.shape[1], LANES), jnp.float32)
+        )
+    results = pl.pallas_call(
         kernel,
         grid=(bh, nq, nk),
         in_specs=[
@@ -143,14 +160,8 @@ def _flash_fwd(
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_q, LANES), lambda b, i, j: (b, i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct(qp.shape, q.dtype),
-            jax.ShapeDtypeStruct((bh, qp.shape[1], LANES), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, LANES), jnp.float32),
             pltpu.VMEM((block_q, LANES), jnp.float32),
@@ -161,7 +172,10 @@ def _flash_fwd(
         ),
         interpret=_interpret(),
     )(qp, kp, vp)
-    return out[:, :sq], lse[:, :sq, 0]
+    if with_lse:
+        out, lse = results
+        return out[:, :sq], lse[:, :sq, 0]
+    return results[0][:, :sq], None
 
 
 # ---------------------------------------------------------------------------
@@ -351,8 +365,15 @@ def flash_attention(
     block_k: int = DEFAULT_BLOCK_K,
 ) -> jnp.ndarray:
     """Non-causal flash attention. q, k, v: [B, H, S, D] -> [B, H, S, D]."""
-    out, _ = _fa_fwd(q, k, v, scale, block_q, block_k)
-    return out
+    B, H, S, D = q.shape
+    sc = scale if scale is not None else 1.0 / math.sqrt(D)
+    out, _ = _flash_fwd(
+        q.reshape(B * H, S, D),
+        k.reshape(B * H, k.shape[2], D),
+        v.reshape(B * H, v.shape[2], D),
+        sc, block_q, block_k, with_lse=False,
+    )
+    return out.reshape(q.shape)
 
 
 def _fa_fwd(q, k, v, scale, block_q, block_k):

@@ -379,11 +379,29 @@ class Trainer:
         t_start = time.time()
         epoch = self.global_step // max(steps_per_epoch, 1)
 
+        # Failure handling: SIGTERM/SIGINT triggers a final checkpoint at the
+        # next step boundary (the reference's only fault tolerance is a long
+        # NCCL timeout + periodic checkpoints; SURVEY.md §5).
+        import signal
+
+        stop_requested = {"flag": False}
+
+        def _request_stop(signum, frame):
+            logger.warning("signal %s: will checkpoint and stop", signum)
+            stop_requested["flag"] = True
+
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _request_stop)
+            except ValueError:  # non-main thread
+                pass
+
         with self.mesh:
-            while self.global_step < total_steps:
+            while self.global_step < total_steps and not stop_requested["flag"]:
                 self.loader.set_epoch(epoch)
                 for batch in self.loader:
-                    if self.global_step >= total_steps:
+                    if self.global_step >= total_steps or stop_requested["flag"]:
                         break
                     rng, step_rng = jax.random.split(rng)
                     dev_batch = self._device_batch(batch)
@@ -413,6 +431,8 @@ class Trainer:
                         self.validate(self.global_step)
                 epoch += 1
 
+        for sig, handler in old_handlers.items():
+            signal.signal(sig, handler)
         self.save(self.global_step)
         if self._log_file:
             self._log_file.close()
