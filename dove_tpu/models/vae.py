@@ -444,6 +444,64 @@ def tiled_decode(
     return out[:, :, : h * s, : w * s]
 
 
+def tiled_decode_host(
+    cfg: VAEConfig, latent_shape: tuple, decode_fn,
+) -> "np.ndarray":
+    """Host-assembled tiled decode: each decoded pixel tile is pulled to host
+    immediately and the feathered blending runs in NumPy, so device HBM only
+    ever holds ONE in-flight tile (the decoded rows of a 720p clip otherwise
+    sum to multiple GB next to the resident DiT weights).
+
+    decode_fn(i0, i1, j0, j1) -> np.ndarray pixel tile for that latent window.
+    latent_shape: (B, F', h, w, C).
+    """
+    import numpy as np
+
+    h, w = latent_shape[2], latent_shape[3]
+    s = cfg.spatial_scale
+    tile_h, tile_w = cfg.tile_sample_min_height, cfg.tile_sample_min_width
+    lat_h, lat_w = tile_h // s, tile_w // s
+    if h <= lat_h and w <= lat_w:
+        return decode_fn(0, h, 0, w)
+    overlap_h = int(lat_h * (1 - cfg.tile_overlap_factor_height))
+    overlap_w = int(lat_w * (1 - cfg.tile_overlap_factor_width))
+    blend_h = int(tile_h * cfg.tile_overlap_factor_height)
+    blend_w = int(tile_w * cfg.tile_overlap_factor_width)
+    row_limit_h = tile_h - blend_h
+    row_limit_w = tile_w - blend_w
+
+    def np_blend(a, b, extent, axis):
+        extent = min(a.shape[axis], b.shape[axis], extent)
+        if extent <= 0:
+            return b
+        shape = [1] * b.ndim
+        shape[axis] = extent
+        wgt = (np.arange(extent, dtype=np.float32) / extent).reshape(shape)
+        a_band = np.take(a, range(a.shape[axis] - extent, a.shape[axis]), axis)
+        b_band = np.take(b, range(extent), axis)
+        rest = np.take(b, range(extent, b.shape[axis]), axis)
+        return np.concatenate([a_band * (1 - wgt) + b_band * wgt, rest], axis)
+
+    prev_row: list = []
+    result_rows = []
+    for i in range(0, h, overlap_h):
+        row = [
+            decode_fn(i, min(i + lat_h, h), j, min(j + lat_w, w))
+            for j in range(0, w, overlap_w)
+        ]
+        out_row = []
+        for j, tile in enumerate(row):
+            if prev_row:
+                tile = np_blend(prev_row[j], tile, blend_h, 2)
+            if j > 0:
+                tile = np_blend(row[j - 1], tile, blend_w, 3)
+            out_row.append(tile[:, :, :row_limit_h, :row_limit_w])
+        result_rows.append(np.concatenate(out_row, axis=3))
+        prev_row = row
+    out = np.concatenate(result_rows, axis=2)
+    return out[:, :, : h * s, : w * s]
+
+
 # ---------------------------------------------------------------------------
 # Initialization (random weights; checkpoints load via weights.py)
 # ---------------------------------------------------------------------------

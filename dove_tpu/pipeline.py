@@ -137,15 +137,20 @@ class DovePipeline:
             lambda params, tile: vae_mod.decode(cfg.vae, params, tile)
         )
 
-        def dit_step(dit_params, prompt, latent, rng):
-            # latent: [B, F', h, w, C] scaled
+        def dit_step(dit_params, prompt, moments, rng):
+            # moments: [B, F', h, w, 2C] -> sample, one-step denoise, unscale
             from dove_tpu.train.losses import one_step_x0_latent
 
+            enc_rng, noise_rng = jax.random.split(rng)
+            latent = vae_mod.sample_latent(
+                moments, enc_rng if self.sample_posterior else None,
+                cfg.vae.scaling_factor,
+            )
             B = latent.shape[0]
             text = jnp.broadcast_to(prompt[None], (B,) + prompt.shape)
             x0 = one_step_x0_latent(
                 cfg, self.schedule, dit_params, latent, text,
-                rng, remat=False, attention_backend=self.attention_backend,
+                noise_rng, remat=False, attention_backend=self.attention_backend,
             )
             return x0 / jnp.asarray(cfg.vae.scaling_factor, x0.dtype)
 
@@ -158,23 +163,19 @@ class DovePipeline:
         fns = self._staged_fns()
         cfg = self.config
         video = jnp.asarray(clip[None], self.dtype)
-        enc_rng, noise_rng = jax.random.split(rng)
 
         moments = vae_mod.tiled_encode_moments(
             cfg.vae, self.vae_params, video,
             encode_fn=lambda t: fns["enc"](self.vae_params, t),
         )
-        latent = vae_mod.sample_latent(
-            moments, enc_rng if self.sample_posterior else None,
-            cfg.vae.scaling_factor,
-        )
-        z = fns["dit"](self.dit_params, self.prompt_embedding, latent, noise_rng)
-        pixels = vae_mod.tiled_decode(
-            cfg.vae, self.vae_params, z,
-            decode_fn=lambda t: fns["dec"](self.vae_params, t),
-        )
-        out = jnp.clip(pixels.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
-        return np.asarray(out[0], np.float32)
+        z = fns["dit"](self.dit_params, self.prompt_embedding, moments, rng)
+
+        def decode_window(i0, i1, j0, j1):
+            tile = fns["dec"](self.vae_params, z[:, :, i0:i1, j0:j1])
+            return np.asarray(tile, np.float32)  # pull to host immediately
+
+        pixels = vae_mod.tiled_decode_host(cfg.vae, z.shape, decode_window)
+        return np.clip(pixels[0] * 0.5 + 0.5, 0.0, 1.0)
 
     def compiled_sr(self, shape: tuple) -> Callable:
         """jit-compiled sr_tile for a given [B, F, H, W, 3] tile shape."""

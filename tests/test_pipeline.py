@@ -33,9 +33,18 @@ def _pipe(params, **kw):
 def test_staged_matches_fused_when_untiled(params):
     """With the VAE tile larger than the frame, the staged (--is_vae_st) path
     runs the exact same math as the fused single-program path."""
+    import dataclasses
+
+    cfg, dit, vae, prompt = params
+    big_tile_cfg = dataclasses.replace(
+        cfg, vae=dataclasses.replace(
+            cfg.vae, tile_sample_min_height=128, tile_sample_min_width=128
+        )
+    )
+    params_big = (big_tile_cfg, dit, vae, prompt)
     frames = np.random.default_rng(0).random((9, 8, 8, 3)).astype(np.float32)
-    out_fused = _pipe(params).process_frames(frames)
-    out_staged = _pipe(params, vae_tiling=True).process_frames(frames)
+    out_fused = _pipe(params_big).process_frames(frames)
+    out_staged = _pipe(params_big, vae_tiling=True).process_frames(frames)
     assert out_fused.shape == out_staged.shape == (9, 32, 32, 3)
     np.testing.assert_allclose(out_fused, out_staged, atol=1e-4)
 
