@@ -135,6 +135,7 @@ def main():
         "vs_baseline": round(BASELINE_CLIP_SECONDS / clip_seconds, 3),
         "detail": {
             "frames_per_second": round(fps, 2),
+            "seconds_per_100_frames": round(100.0 / fps, 2),
             "first_pass_with_compile_s": round(compile_and_first, 2),
             "output_shape": list(out.shape),
             "device": str(jax.devices()[0]),

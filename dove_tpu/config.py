@@ -86,6 +86,11 @@ class VAEConfig:
     tile_sample_min_width: int = 256
     tile_overlap_factor_height: float = 1 / 6
     tile_overlap_factor_width: float = 1 / 5
+    # Decoder-side latent tile override (None = tile_sample_min / 8). The
+    # decoder's upsampled activations are ~16x the encoder's per pixel, so a
+    # smaller decode tile keeps peak HBM bounded next to resident DiT weights.
+    decode_tile_latent_height: int | None = None
+    decode_tile_latent_width: int | None = None
 
     @property
     def spatial_scale(self) -> int:
@@ -139,7 +144,14 @@ def cogvideox1_5_5b() -> PipelineConfig:
     """DOVE's backbone: CogVideoX1.5-5B (patch_size_t=2, RoPE, 42 layers)."""
     return PipelineConfig(
         dit=DiTConfig(),
-        vae=VAEConfig(scaling_factor=0.7, invert_scale_latents=True),
+        vae=VAEConfig(
+            scaling_factor=0.7,
+            invert_scale_latents=True,
+            # 24-latent (192 px) decode tiles: decoder peak HBM must coexist
+            # with ~10.4 GB of resident DiT weights on a 16 GB chip.
+            decode_tile_latent_height=24,
+            decode_tile_latent_width=24,
+        ),
         scheduler=SchedulerConfig(snr_shift_scale=1.0),
     )
 

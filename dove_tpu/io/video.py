@@ -100,15 +100,27 @@ def save_video(video: np.ndarray, out_path: str | Path, fps: int = 16) -> Path:
     raise RuntimeError("no working mp4 encoder in OpenCV build")
 
 
-def bilinear_upscale(frames: np.ndarray, scale: int) -> np.ndarray:
-    """[F, H, W, 3] -> [F, H*s, W*s, 3], half-pixel bilinear (matches
+_UPSCALE_MODES = {
+    "bilinear": cv2.INTER_LINEAR,
+    "bicubic": cv2.INTER_CUBIC,
+    "nearest": cv2.INTER_NEAREST,
+    "area": cv2.INTER_AREA,
+    "lanczos": cv2.INTER_LANCZOS4,
+}
+
+
+def bilinear_upscale(
+    frames: np.ndarray, scale: int, mode: str = "bilinear"
+) -> np.ndarray:
+    """[F, H, W, 3] -> [F, H*s, W*s, 3]; half-pixel sampling (matches
     torch.nn.functional.interpolate(..., align_corners=False))."""
     if scale == 1:
         return frames
+    interp = _UPSCALE_MODES[mode]
     F, H, W, _ = frames.shape
     out = np.empty((F, H * scale, W * scale, frames.shape[3]), dtype=frames.dtype)
     for i in range(F):
-        out[i] = cv2.resize(frames[i], (W * scale, H * scale), interpolation=cv2.INTER_LINEAR)
+        out[i] = cv2.resize(frames[i], (W * scale, H * scale), interpolation=interp)
     return out
 
 

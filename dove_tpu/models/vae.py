@@ -100,13 +100,20 @@ def causal_conv3d(
 
 
 def _group_norm(p: Params, x: jnp.ndarray, groups: int, eps: float) -> jnp.ndarray:
+    """GroupNorm with fp32 statistics but NO materialized fp32 activation
+    copy: reductions accumulate in fp32 (fused cast-into-reduce), the
+    normalize/affine runs in the model dtype with per-group fp32 scalars.
+    Keeps decoder peak HBM ~2x lower at 720p tiles."""
     B, F, H, W, C = x.shape
-    xf = x.astype(jnp.float32).reshape(B, F, H, W, groups, C // groups)
-    mean = xf.mean(axis=(1, 2, 3, 5), keepdims=True)
-    var = xf.var(axis=(1, 2, 3, 5), keepdims=True)
-    y = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(B, F, H, W, C)
-    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
-    return y.astype(x.dtype)
+    xg = x.reshape(B, F, H, W, groups, C // groups)
+    mean = jnp.mean(xg, axis=(1, 2, 3, 5), keepdims=True, dtype=jnp.float32)
+    var = jnp.mean(
+        jnp.square(xg.astype(jnp.float32)), axis=(1, 2, 3, 5), keepdims=True
+    ) - jnp.square(mean)
+    inv = jax.lax.rsqrt(var + eps)
+    y = (xg.astype(jnp.float32) - mean) * inv
+    y = y.astype(x.dtype).reshape(B, F, H, W, C)
+    return y * p["scale"].astype(x.dtype) + p["bias"].astype(x.dtype)
 
 
 def _nearest_resize(x: jnp.ndarray, f: int, h: int, w: int) -> jnp.ndarray:
@@ -122,24 +129,35 @@ def _nearest_resize(x: jnp.ndarray, f: int, h: int, w: int) -> jnp.ndarray:
     return x
 
 
+def _nearest_resize_causal(z: jnp.ndarray, f: int, h: int, w: int) -> jnp.ndarray:
+    """Nearest upsample with the causal first-frame convention: when the
+    target length is odd (>1), the first frame upsamples alone and the rest
+    share the remaining factor."""
+    if f > 1 and f % 2 == 1:
+        zf = _nearest_resize(z[:, :1], 1, h, w)
+        zr = _nearest_resize(z[:, 1:], f - 1, h, w)
+        return jnp.concatenate([zf, zr], axis=1)
+    return _nearest_resize(z, f, h, w)
+
+
 def _spatial_norm3d(
     p: Params, x: jnp.ndarray, zq: jnp.ndarray, groups: int, eps: float
 ) -> jnp.ndarray:
-    """GroupNorm(x) modulated by conv_y/conv_b of the (nearest-upsampled) latent.
+    """GroupNorm(x) modulated by conv_y/conv_b of the (nearest-upsampled)
+    latent.
 
-    The first frame is resized separately when x has odd temporal length > 1,
-    matching the causal first-frame convention.
+    The modulation convs are 1x1x1, so they COMMUTE with nearest upsampling:
+    compute them at latent resolution and upsample the results — the
+    upsample is a broadcast XLA fuses into the multiply/add, instead of two
+    materialized full-resolution modulation maps (~0.8 GB each at 720p
+    decode tiles). Numerically identical to upsample-then-conv.
     """
     B, F, H, W, C = x.shape
-    if F > 1 and F % 2 == 1:
-        zf = _nearest_resize(zq[:, :1], 1, H, W)
-        zr = _nearest_resize(zq[:, 1:], F - 1, H, W)
-        zq = jnp.concatenate([zf, zr], axis=1)
-    else:
-        zq = _nearest_resize(zq, F, H, W)
-    normed = _group_norm(p["norm_layer"], x, groups, eps)
     conv_y, _ = causal_conv3d(p["conv_y"], zq, None)
     conv_b, _ = causal_conv3d(p["conv_b"], zq, None)
+    conv_y = _nearest_resize_causal(conv_y, F, H, W)
+    conv_b = _nearest_resize_causal(conv_b, F, H, W)
+    normed = _group_norm(p["norm_layer"], x, groups, eps)
     return normed * conv_y + conv_b
 
 
@@ -411,8 +429,9 @@ def tiled_decode(
         decode_fn = lambda tile: decode(cfg, params, tile, chunk_frames)
     h, w = latent.shape[2], latent.shape[3]
     s = cfg.spatial_scale
-    tile_h, tile_w = cfg.tile_sample_min_height, cfg.tile_sample_min_width
-    lat_h, lat_w = tile_h // s, tile_w // s
+    lat_h = cfg.decode_tile_latent_height or cfg.tile_sample_min_height // s
+    lat_w = cfg.decode_tile_latent_width or cfg.tile_sample_min_width // s
+    tile_h, tile_w = lat_h * s, lat_w * s
     if h <= lat_h and w <= lat_w:
         return decode_fn(latent)
     overlap_h = int(lat_h * (1 - cfg.tile_overlap_factor_height))
@@ -459,12 +478,13 @@ def tiled_decode_host(
 
     h, w = latent_shape[2], latent_shape[3]
     s = cfg.spatial_scale
-    tile_h, tile_w = cfg.tile_sample_min_height, cfg.tile_sample_min_width
-    lat_h, lat_w = tile_h // s, tile_w // s
+    lat_h = cfg.decode_tile_latent_height or cfg.tile_sample_min_height // s
+    lat_w = cfg.decode_tile_latent_width or cfg.tile_sample_min_width // s
+    tile_h, tile_w = lat_h * s, lat_w * s
     if h <= lat_h and w <= lat_w:
         return decode_fn(0, h, 0, w)
-    overlap_h = int(lat_h * (1 - cfg.tile_overlap_factor_height))
-    overlap_w = int(lat_w * (1 - cfg.tile_overlap_factor_width))
+    overlap_h = max(int(lat_h * (1 - cfg.tile_overlap_factor_height)), 1)
+    overlap_w = max(int(lat_w * (1 - cfg.tile_overlap_factor_width)), 1)
     blend_h = int(tile_h * cfg.tile_overlap_factor_height)
     blend_w = int(tile_w * cfg.tile_overlap_factor_width)
     row_limit_h = tile_h - blend_h

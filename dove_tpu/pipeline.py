@@ -203,6 +203,7 @@ class DovePipeline:
         seed: int = 42,
         tile_batch: int = 1,
         mesh=None,
+        upscale_mode: str = "bilinear",
     ) -> np.ndarray:
         """Full one-step SR of a clip -> [F, H*s, W*s, 3] float32 in [0, 1].
 
@@ -215,11 +216,11 @@ class DovePipeline:
         padded, (pad_f, pad_h, pad_w) = tiling.pad_video(frames)
         from dove_tpu import native
 
-        if native.available():
+        if native.available() and upscale_mode == "bilinear":
             # multithreaded C++ upscale with the [-1,1] normalize fused in
             up = native.upscale_bilinear(padded, upscale, normalize=True)
         else:
-            up = video_io.bilinear_upscale(padded, upscale) * 2.0 - 1.0
+            up = video_io.bilinear_upscale(padded, upscale, upscale_mode) * 2.0 - 1.0
 
         F, H, W, _ = up.shape
 

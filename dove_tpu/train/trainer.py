@@ -511,6 +511,7 @@ class Trainer:
             prompt_embedding=jnp.asarray(self.empty_prompt, self.dtype),
             dtype=self.dtype,
             donate_input=False,
+            vae_tiling=self.args.enable_tiling,  # --is_vae_st-style validation
         )
         out_dir = Path(args.output_dir) / "validation_res" / f"Step-{step}"
         out_dir.mkdir(parents=True, exist_ok=True)

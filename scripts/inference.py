@@ -209,6 +209,7 @@ def main(argv=None):
             seed=args.seed,
             tile_batch=args.tile_batch,
             mesh=mesh,
+            upscale_mode=args.upscale_mode,
         )
         dt = time.time() - t0
         logging.info("%s: %s in %.2fs (%.2f frames/s)",

@@ -146,3 +146,37 @@ def test_tiled_encode_decode_close_to_untiled():
         np.asarray(vae_mod.tiled_encode_moments(cfg, params, small)),
         np.asarray(vae_mod.encode_moments(cfg, params, small)),
     )
+
+
+def test_spatial_norm_commuted_equals_upsample_then_conv():
+    """The 1x1x1 modulation convs commute with nearest upsampling; the
+    memory-lean order must be numerically identical to the reference order."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dove_tpu.models.vae import (
+        _group_norm,
+        _init_conv,
+        _init_gn,
+        _nearest_resize,
+        _spatial_norm3d,
+        causal_conv3d,
+    )
+
+    p = {
+        "norm_layer": _init_gn(8),
+        "conv_y": _init_conv(jax.random.PRNGKey(0), 1, 1, 1, 4, 8),
+        "conv_b": _init_conv(jax.random.PRNGKey(1), 1, 1, 1, 4, 8),
+    }
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 9, 16, 16, 8))
+    zq = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 4, 4, 4))
+    new = _spatial_norm3d(p, x, zq, 4, 1e-6)
+
+    zf = _nearest_resize(zq[:, :1], 1, 16, 16)
+    zr = _nearest_resize(zq[:, 1:], 8, 16, 16)
+    zq_up = jnp.concatenate([zf, zr], axis=1)
+    cy, _ = causal_conv3d(p["conv_y"], zq_up, None)
+    cb, _ = causal_conv3d(p["conv_b"], zq_up, None)
+    old = _group_norm(p["norm_layer"], x, 4, 1e-6) * cy + cb
+    np.testing.assert_allclose(np.asarray(new), np.asarray(old), atol=1e-6)
