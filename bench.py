@@ -46,13 +46,15 @@ def zeros_tree(shapes):
     return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
 
-def build_pipeline(tiny: bool, vae_tiling: bool = True):
-    from dove_tpu.config import cogvideox1_5_5b, tiny_test
+def build_pipeline(preset: str, vae_tiling: bool = True):
+    from dove_tpu.config import cogvideox1_5_5b, cogvideox_2b, tiny_test
     from dove_tpu.models.dit import init_dit_params
     from dove_tpu.models.vae import init_vae_params
     from dove_tpu.pipeline import DovePipeline
 
-    cfg = tiny_test() if tiny else cogvideox1_5_5b()
+    tiny = preset == "tiny"
+    cfg = {"tiny": tiny_test, "cogvideox1.5-5b": cogvideox1_5_5b,
+           "cogvideox-2b": cogvideox_2b}[preset]()
     dtype = jnp.float32 if tiny else jnp.bfloat16
     dit_shapes = jax.eval_shape(lambda k: init_dit_params(k, cfg.dit, dtype),
                                 jax.random.PRNGKey(0))
@@ -72,6 +74,8 @@ def build_pipeline(tiny: bool, vae_tiling: bool = True):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true", help="CPU smoke run")
+    ap.add_argument("--preset", default="cogvideox1.5-5b",
+                    choices=["cogvideox1.5-5b", "cogvideox-2b", "tiny"])
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--height", type=int, default=180, help="LQ input height")
     ap.add_argument("--width", type=int, default=320, help="LQ input width")
@@ -86,12 +90,11 @@ def main():
     args = ap.parse_args()
 
     if args.tiny:
+        args.preset = "tiny"
         args.frames, args.height, args.width = 9, 32, 32
         args.chunk_len, args.tile = 0, (0, 0)
 
-    pipe = build_pipeline(args.tiny, vae_tiling=not args.no_vae_tiling)
-
-    from dove_tpu import tiling
+    pipe = build_pipeline(args.preset, vae_tiling=not args.no_vae_tiling)
 
     rng = np.random.default_rng(0)
     frames = rng.random((args.frames, args.height, args.width, 3), np.float32)
@@ -139,7 +142,7 @@ def main():
             "first_pass_with_compile_s": round(compile_and_first, 2),
             "output_shape": list(out.shape),
             "device": str(jax.devices()[0]),
-            "tiny": args.tiny,
+            "preset": args.preset,
         },
     }
     print(json.dumps(result))

@@ -463,6 +463,64 @@ def tiled_decode(
     return out[:, :, : h * s, : w * s]
 
 
+def tiled_encode_moments_host(
+    cfg: VAEConfig, video_shape: tuple, encode_fn,
+) -> "np.ndarray":
+    """Host-assembled tiled encode (counterpart of tiled_decode_host): tile
+    moments are tiny (~2 MB), so pulling them to host and blending in NumPy
+    removes every eager device op from the staged path — each eager dispatch
+    costs real latency through a remote TPU tunnel.
+
+    encode_fn(i0, i1, j0, j1) -> np moments for that pixel window.
+    video_shape: (B, F, H, W, 3).
+    """
+    import numpy as np
+
+    H, W = video_shape[2], video_shape[3]
+    s = cfg.spatial_scale
+    tile_h, tile_w = cfg.tile_sample_min_height, cfg.tile_sample_min_width
+    if H <= tile_h and W <= tile_w:
+        return encode_fn(0, H, 0, W)
+    lat_h, lat_w = tile_h // s, tile_w // s
+    overlap_h = max(int(tile_h * (1 - cfg.tile_overlap_factor_height)), 1)
+    overlap_w = max(int(tile_w * (1 - cfg.tile_overlap_factor_width)), 1)
+    blend_h = int(lat_h * cfg.tile_overlap_factor_height)
+    blend_w = int(lat_w * cfg.tile_overlap_factor_width)
+    row_limit_h = lat_h - blend_h
+    row_limit_w = lat_w - blend_w
+
+    def np_blend(a, b, extent, axis):
+        extent = min(a.shape[axis], b.shape[axis], extent)
+        if extent <= 0:
+            return b
+        shape = [1] * b.ndim
+        shape[axis] = extent
+        wgt = (np.arange(extent, dtype=np.float32) / extent).reshape(shape)
+        a_band = np.take(a, range(a.shape[axis] - extent, a.shape[axis]), axis)
+        b_band = np.take(b, range(extent), axis)
+        rest = np.take(b, range(extent, b.shape[axis]), axis)
+        return np.concatenate([a_band * (1 - wgt) + b_band * wgt, rest], axis)
+
+    prev_row: list = []
+    result_rows = []
+    for i in range(0, H, overlap_h):
+        row = [
+            encode_fn(i, min(i + tile_h, H), j, min(j + tile_w, W))
+            for j in range(0, W, overlap_w)
+        ]
+        out_row = []
+        for j, tile in enumerate(row):
+            if prev_row:
+                tile = np_blend(prev_row[j], tile, blend_h, 2)
+            if j > 0:
+                tile = np_blend(row[j - 1], tile, blend_w, 3)
+            out_row.append(tile[:, :, :row_limit_h, :row_limit_w])
+        result_rows.append(np.concatenate(out_row, axis=3))
+        prev_row = row
+    out = np.concatenate(result_rows, axis=2)
+    return out[:, :, : H // s, : W // s]
+
+
 def tiled_decode_host(
     cfg: VAEConfig, latent_shape: tuple, decode_fn,
 ) -> "np.ndarray":

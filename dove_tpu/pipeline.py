@@ -164,11 +164,17 @@ class DovePipeline:
         cfg = self.config
         video = jnp.asarray(clip[None], self.dtype)
 
-        moments = vae_mod.tiled_encode_moments(
-            cfg.vae, self.vae_params, video,
-            encode_fn=lambda t: fns["enc"](self.vae_params, t),
+        def encode_window(i0, i1, j0, j1):
+            m = fns["enc"](self.vae_params, video[:, :, i0:i1, j0:j1])
+            return np.asarray(m, np.float32)
+
+        moments = vae_mod.tiled_encode_moments_host(
+            cfg.vae, video.shape, encode_window
         )
-        z = fns["dit"](self.dit_params, self.prompt_embedding, moments, rng)
+        z = fns["dit"](
+            self.dit_params, self.prompt_embedding,
+            jnp.asarray(moments, self.dtype), rng,
+        )
 
         def decode_window(i0, i1, j0, j1):
             tile = fns["dec"](self.vae_params, z[:, :, i0:i1, j0:j1])

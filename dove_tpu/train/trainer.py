@@ -290,7 +290,7 @@ class Trainer:
         optimizer = self.optimizer
 
         def train_step(trainable, opt_state, base_state, batch, rng):
-            self_state = base_state  # closed-over immutables live in self
+            del base_state  # reserved static slot; immutables close over self
 
             def loss_fn(p):
                 return self.compute_loss(p, batch, rng)
