@@ -79,6 +79,11 @@ def causal_conv3d(
     """Causal 3D conv: temporal left-context from cache (or first-frame
     replicate at clip start), symmetric zero spatial padding.
 
+    Lowered as k_t frame-shifted 2D convolutions batched over frames — XLA's
+    TPU 2D conv path is substantially faster than the generic 3D lowering,
+    and the temporal taps become a k_t-term accumulation of [B*F, H, W, C]
+    convs. Numerically identical to the direct 3D convolution.
+
     Returns (output, new_cache) where new_cache holds the trailing k_t-1
     input frames for the next chunk.
     """
@@ -92,11 +97,23 @@ def causal_conv3d(
         new_cache = x[:, -(kt - 1):]
     else:
         new_cache = None
+
+    B, Ft, H, W, C = x.shape
+    F = Ft - (kt - 1)
     pad_h, pad_w = (kh - 1) // 2, (kw - 1) // 2
-    return (
-        _conv3d(p, x, padding=((0, 0), (pad_h, pad_h), (pad_w, pad_w))),
-        new_cache,
-    )
+    pad = ((pad_h, pad_h), (pad_w, pad_w))
+    y = None
+    for dt in range(kt):
+        xs = x[:, dt : dt + F].reshape(B * F, H, W, C)
+        yt = jax.lax.conv_general_dilated(
+            xs, p["kernel"][dt].astype(x.dtype), (1, 1), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = yt if y is None else y + yt
+    y = y.reshape(B, F, H, W, -1)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y, new_cache
 
 
 def _group_norm(p: Params, x: jnp.ndarray, groups: int, eps: float) -> jnp.ndarray:
@@ -188,7 +205,7 @@ def _resnet(
         p["conv2"], h, cache.get(f"{path}.conv2")
     )
     if "conv_shortcut" in p:
-        x = _conv3d(p["conv_shortcut"], x, padding=((0, 0), (0, 0), (0, 0)))
+        x, _ = causal_conv3d(p["conv_shortcut"], x, None)
     return x + h
 
 
@@ -480,7 +497,7 @@ def tiled_encode_moments_host(
     s = cfg.spatial_scale
     tile_h, tile_w = cfg.tile_sample_min_height, cfg.tile_sample_min_width
     if H <= tile_h and W <= tile_w:
-        return encode_fn(0, H, 0, W)
+        return np.asarray(encode_fn(0, H, 0, W), np.float32)
     lat_h, lat_w = tile_h // s, tile_w // s
     overlap_h = max(int(tile_h * (1 - cfg.tile_overlap_factor_height)), 1)
     overlap_w = max(int(tile_w * (1 - cfg.tile_overlap_factor_width)), 1)
@@ -501,13 +518,23 @@ def tiled_encode_moments_host(
         rest = np.take(b, range(extent, b.shape[axis]), axis)
         return np.concatenate([a_band * (1 - wgt) + b_band * wgt, rest], axis)
 
-    prev_row: list = []
-    result_rows = []
-    for i in range(0, H, overlap_h):
-        row = [
+    # Row-ahead pipelining: dispatch row i+1's device work before pulling
+    # row i to host, overlapping device compute with host blending.
+    row_starts = list(range(0, H, overlap_h))
+
+    def dispatch(i):
+        return [
             encode_fn(i, min(i + tile_h, H), j, min(j + tile_w, W))
             for j in range(0, W, overlap_w)
         ]
+
+    prev_row: list = []
+    result_rows = []
+    pending = dispatch(row_starts[0])
+    for ri in range(len(row_starts)):
+        nxt = dispatch(row_starts[ri + 1]) if ri + 1 < len(row_starts) else None
+        row = [np.asarray(t, np.float32) for t in pending]
+        pending = nxt
         out_row = []
         for j, tile in enumerate(row):
             if prev_row:
@@ -540,7 +567,7 @@ def tiled_decode_host(
     lat_w = cfg.decode_tile_latent_width or cfg.tile_sample_min_width // s
     tile_h, tile_w = lat_h * s, lat_w * s
     if h <= lat_h and w <= lat_w:
-        return decode_fn(0, h, 0, w)
+        return np.asarray(decode_fn(0, h, 0, w), np.float32)
     overlap_h = max(int(lat_h * (1 - cfg.tile_overlap_factor_height)), 1)
     overlap_w = max(int(lat_w * (1 - cfg.tile_overlap_factor_width)), 1)
     blend_h = int(tile_h * cfg.tile_overlap_factor_height)
@@ -560,13 +587,24 @@ def tiled_decode_host(
         rest = np.take(b, range(extent, b.shape[axis]), axis)
         return np.concatenate([a_band * (1 - wgt) + b_band * wgt, rest], axis)
 
-    prev_row: list = []
-    result_rows = []
-    for i in range(0, h, overlap_h):
-        row = [
+    # Row-ahead pipelining (see tiled_encode_moments_host). One extra row of
+    # decoded tiles lives on device at a time — bounded, unlike full-clip
+    # accumulation.
+    row_starts = list(range(0, h, overlap_h))
+
+    def dispatch(i):
+        return [
             decode_fn(i, min(i + lat_h, h), j, min(j + lat_w, w))
             for j in range(0, w, overlap_w)
         ]
+
+    prev_row: list = []
+    result_rows = []
+    pending = dispatch(row_starts[0])
+    for ri in range(len(row_starts)):
+        nxt = dispatch(row_starts[ri + 1]) if ri + 1 < len(row_starts) else None
+        row = [np.asarray(t, np.float32) for t in pending]
+        pending = nxt
         out_row = []
         for j, tile in enumerate(row):
             if prev_row:

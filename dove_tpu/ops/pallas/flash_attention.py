@@ -34,8 +34,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128  # store running stats lane-broadcast for full-tile stores
 
-DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_K = 512
+# 1024x1024 blocks: ~8 MB VMEM working set (fp32 logits 4 MB + bf16 probs,
+# q/k/v slivers, stats) and 4x fewer grid steps than 512-blocks — per-step
+# scheduling overhead, not FLOPs, dominates at long sequence lengths.
+DEFAULT_BLOCK_Q = 1024
+DEFAULT_BLOCK_K = 1024
 
 
 def _interpret() -> bool:

@@ -130,11 +130,39 @@ class DovePipeline:
             return self._staged
         cfg = self.config
 
-        enc = jax.jit(
-            lambda params, tile: vae_mod.encode_moments(cfg.vae, params, tile)
+        # Uniform-window encode/decode: the window position is a TRACED
+        # argument (lax.dynamic_slice), so every tile of a clip runs the SAME
+        # compiled program — one compile per stage instead of one per ragged
+        # edge-tile shape, and no eager slicing between calls. Edge windows
+        # read into edge-replicated padding; the feathered assembly trims the
+        # padded region away.
+        def enc(params, video_padded, i0, j0):
+            B, F = video_padded.shape[:2]
+            th = cfg.vae.tile_sample_min_height
+            tw = cfg.vae.tile_sample_min_width
+            tile = jax.lax.dynamic_slice(
+                video_padded, (0, 0, i0, j0, 0), (B, F, th, tw, 3)
+            )
+            return vae_mod.encode_moments(cfg.vae, params, tile)
+
+        def dec(params, z_padded, i0, j0):
+            B, Fl = z_padded.shape[:2]
+            s = cfg.vae.spatial_scale
+            lh = cfg.vae.decode_tile_latent_height or cfg.vae.tile_sample_min_height // s
+            lw = cfg.vae.decode_tile_latent_width or cfg.vae.tile_sample_min_width // s
+            C = z_padded.shape[-1]
+            tile = jax.lax.dynamic_slice(
+                z_padded, (0, 0, i0, j0, 0), (B, Fl, lh, lw, C)
+            )
+            return vae_mod.decode(cfg.vae, params, tile)
+
+        enc = jax.jit(enc)
+        dec = jax.jit(dec)
+        enc_whole = jax.jit(
+            lambda params, v: vae_mod.encode_moments(cfg.vae, params, v)
         )
-        dec = jax.jit(
-            lambda params, tile: vae_mod.decode(cfg.vae, params, tile)
+        dec_whole = jax.jit(
+            lambda params, zz: vae_mod.decode(cfg.vae, params, zz)
         )
 
         def dit_step(dit_params, prompt, moments, rng):
@@ -154,34 +182,84 @@ class DovePipeline:
             )
             return x0 / jnp.asarray(cfg.vae.scaling_factor, x0.dtype)
 
-        self._staged = {"enc": enc, "dec": dec, "dit": jax.jit(dit_step)}
+        self._staged = {
+            "enc": enc, "dec": dec, "dit": jax.jit(dit_step),
+            "enc_whole": enc_whole, "dec_whole": dec_whole,
+        }
         return self._staged
 
     def _sr_clip_staged(self, clip: np.ndarray, rng: jax.Array) -> np.ndarray:
         """One temporal chunk at full spatial size with internal VAE tiling.
         clip: [F, H, W, 3] np float32 in [-1, 1] -> [F, H, W, 3] in [0, 1]."""
+        import os
+
+        timing = bool(os.environ.get("DOVE_STAGE_TIMING"))
+        t0 = time.time()
         fns = self._staged_fns()
         cfg = self.config
-        video = jnp.asarray(clip[None], self.dtype)
+        F, H, W, _ = clip.shape
+
+        def pad_for(starts_dim: int, tile: int, size: int) -> int:
+            starts = list(range(0, size, starts_dim)) or [0]
+            return max(starts[-1] + tile - size, 0)
+
+        th = cfg.vae.tile_sample_min_height
+        tw = cfg.vae.tile_sample_min_width
+        if H > th or W > tw:
+            oh = max(int(th * (1 - cfg.vae.tile_overlap_factor_height)), 1)
+            ow = max(int(tw * (1 - cfg.vae.tile_overlap_factor_width)), 1)
+            ph, pw = pad_for(oh, th, H), pad_for(ow, tw, W)
+        else:
+            ph = pw = 0
+        padded = np.pad(clip, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+        video = jnp.asarray(padded[None], self.dtype)
 
         def encode_window(i0, i1, j0, j1):
-            m = fns["enc"](self.vae_params, video[:, :, i0:i1, j0:j1])
-            return np.asarray(m, np.float32)
+            if H <= th and W <= tw:  # untiled: whole (unpadded) frame
+                return fns["enc_whole"](self.vae_params, video)
+            return fns["enc"](self.vae_params, video, i0, j0)
 
         moments = vae_mod.tiled_encode_moments_host(
-            cfg.vae, video.shape, encode_window
+            cfg.vae, (1, F, H, W, 3), encode_window
         )
+        if timing:
+            t1 = time.time()
+            print(f"stage enc: {t1 - t0:.2f}s", flush=True)
         z = fns["dit"](
             self.dit_params, self.prompt_embedding,
             jnp.asarray(moments, self.dtype), rng,
         )
+        z.block_until_ready()
+        if timing:
+            t2 = time.time()
+            print(f"stage dit: {t2 - t1:.2f}s", flush=True)
+
+        s = cfg.vae.spatial_scale
+        lh = cfg.vae.decode_tile_latent_height or th // s
+        lw = cfg.vae.decode_tile_latent_width or tw // s
+        zh, zw = z.shape[2], z.shape[3]
+        if zh > lh or zw > lw:
+            olh = max(int(lh * (1 - cfg.vae.tile_overlap_factor_height)), 1)
+            olw = max(int(lw * (1 - cfg.vae.tile_overlap_factor_width)), 1)
+            pzh, pzw = pad_for(olh, lh, zh), pad_for(olw, lw, zw)
+        else:
+            pzh = pzw = 0
+        if pzh or pzw:
+            z_pad = jnp.pad(z, ((0, 0), (0, 0), (0, pzh), (0, pzw), (0, 0)),
+                            mode="edge")
+        else:
+            z_pad = z
 
         def decode_window(i0, i1, j0, j1):
-            tile = fns["dec"](self.vae_params, z[:, :, i0:i1, j0:j1])
-            return np.asarray(tile, np.float32)  # pull to host immediately
+            if zh <= lh and zw <= lw:
+                return fns["dec_whole"](self.vae_params, z)
+            return fns["dec"](self.vae_params, z_pad, i0, j0)
 
         pixels = vae_mod.tiled_decode_host(cfg.vae, z.shape, decode_window)
-        return np.clip(pixels[0] * 0.5 + 0.5, 0.0, 1.0)
+        out = np.clip(pixels[0] * 0.5 + 0.5, 0.0, 1.0)
+        if timing:
+            print(f"stage dec: {time.time() - t2:.2f}s", flush=True)
+        return out
 
     def compiled_sr(self, shape: tuple) -> Callable:
         """jit-compiled sr_tile for a given [B, F, H, W, 3] tile shape."""
