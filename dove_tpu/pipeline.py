@@ -136,25 +136,38 @@ class DovePipeline:
         # edge-tile shape, and no eager slicing between calls. Edge windows
         # read into edge-replicated padding; the feathered assembly trims the
         # padded region away.
-        def enc(params, video_padded, i0, j0):
+        def enc(params, video_padded, coords):
+            """ALL windows in one program: lax.map runs the encoder body
+            sequentially per window (one window's activations live at a
+            time), so the whole tiled encode is a single device call —
+            per-call dispatch latency through remote TPU stacks would
+            otherwise dominate. coords: [N, 2] int32 window origins."""
             B, F = video_padded.shape[:2]
             th = cfg.vae.tile_sample_min_height
             tw = cfg.vae.tile_sample_min_width
-            tile = jax.lax.dynamic_slice(
-                video_padded, (0, 0, i0, j0, 0), (B, F, th, tw, 3)
-            )
-            return vae_mod.encode_moments(cfg.vae, params, tile)
 
-        def dec(params, z_padded, i0, j0):
+            def one(ij):
+                tile = jax.lax.dynamic_slice(
+                    video_padded, (0, 0, ij[0], ij[1], 0), (B, F, th, tw, 3)
+                )
+                return vae_mod.encode_moments(cfg.vae, params, tile)[0]
+
+            return jax.lax.map(one, coords)
+
+        def dec(params, z_padded, coords):
             B, Fl = z_padded.shape[:2]
             s = cfg.vae.spatial_scale
             lh = cfg.vae.decode_tile_latent_height or cfg.vae.tile_sample_min_height // s
             lw = cfg.vae.decode_tile_latent_width or cfg.vae.tile_sample_min_width // s
             C = z_padded.shape[-1]
-            tile = jax.lax.dynamic_slice(
-                z_padded, (0, 0, i0, j0, 0), (B, Fl, lh, lw, C)
-            )
-            return vae_mod.decode(cfg.vae, params, tile)
+
+            def one(ij):
+                tile = jax.lax.dynamic_slice(
+                    z_padded, (0, 0, ij[0], ij[1], 0), (B, Fl, lh, lw, C)
+                )
+                return vae_mod.decode(cfg.vae, params, tile)[0]
+
+            return jax.lax.map(one, coords)
 
         enc = jax.jit(enc)
         dec = jax.jit(dec)
@@ -199,32 +212,41 @@ class DovePipeline:
         cfg = self.config
         F, H, W, _ = clip.shape
 
-        def pad_for(starts_dim: int, tile: int, size: int) -> int:
-            starts = list(range(0, size, starts_dim)) or [0]
-            return max(starts[-1] + tile - size, 0)
+        def grid(size: int, tile: int, factor: float) -> list[int]:
+            stride = max(int(tile * (1 - factor)), 1)
+            return list(range(0, size, stride))
 
+        fh = cfg.vae.tile_overlap_factor_height
+        fw = cfg.vae.tile_overlap_factor_width
         th = cfg.vae.tile_sample_min_height
         tw = cfg.vae.tile_sample_min_width
-        if H > th or W > tw:
-            oh = max(int(th * (1 - cfg.vae.tile_overlap_factor_height)), 1)
-            ow = max(int(tw * (1 - cfg.vae.tile_overlap_factor_width)), 1)
-            ph, pw = pad_for(oh, th, H), pad_for(ow, tw, W)
+
+        if H <= th and W <= tw:  # untiled: whole (unpadded) frame
+            video = jnp.asarray(clip[None], self.dtype)
+            moments = np.asarray(
+                fns["enc_whole"](self.vae_params, video), np.float32
+            )
         else:
-            ph = pw = 0
-        padded = np.pad(clip, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
-        video = jnp.asarray(padded[None], self.dtype)
-
-        def encode_window(i0, i1, j0, j1):
-            if H <= th and W <= tw:  # untiled: whole (unpadded) frame
-                return fns["enc_whole"](self.vae_params, video)
-            return fns["enc"](self.vae_params, video, i0, j0)
-
-        moments = vae_mod.tiled_encode_moments_host(
-            cfg.vae, (1, F, H, W, 3), encode_window
-        )
+            rows_i, cols_j = grid(H, th, fh), grid(W, tw, fw)
+            ph = max(rows_i[-1] + th - H, 0)
+            pw = max(cols_j[-1] + tw - W, 0)
+            padded = np.pad(clip, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+            video = jnp.asarray(padded[None], self.dtype)
+            coords = [(i, j) for i in rows_i for j in cols_j]
+            m_all = np.asarray(
+                fns["enc"](self.vae_params, video,
+                           jnp.asarray(coords, jnp.int32)),
+                np.float32,
+            )  # [N, F', th/8, tw/8, 2C]
+            lookup = {c: k for k, c in enumerate(coords)}
+            moments = vae_mod.tiled_encode_moments_host(
+                cfg.vae, (1, F, H, W, 3),
+                lambda i0, i1, j0, j1: m_all[lookup[(i0, j0)]][None],
+            )
         if timing:
             t1 = time.time()
             print(f"stage enc: {t1 - t0:.2f}s", flush=True)
+
         z = fns["dit"](
             self.dit_params, self.prompt_embedding,
             jnp.asarray(moments, self.dtype), rng,
@@ -238,24 +260,30 @@ class DovePipeline:
         lh = cfg.vae.decode_tile_latent_height or th // s
         lw = cfg.vae.decode_tile_latent_width or tw // s
         zh, zw = z.shape[2], z.shape[3]
-        if zh > lh or zw > lw:
-            olh = max(int(lh * (1 - cfg.vae.tile_overlap_factor_height)), 1)
-            olw = max(int(lw * (1 - cfg.vae.tile_overlap_factor_width)), 1)
-            pzh, pzw = pad_for(olh, lh, zh), pad_for(olw, lw, zw)
+        if zh <= lh and zw <= lw:
+            pixels = np.asarray(
+                fns["dec_whole"](self.vae_params, z), np.float32
+            )
         else:
-            pzh = pzw = 0
-        if pzh or pzw:
-            z_pad = jnp.pad(z, ((0, 0), (0, 0), (0, pzh), (0, pzw), (0, 0)),
-                            mode="edge")
-        else:
-            z_pad = z
-
-        def decode_window(i0, i1, j0, j1):
-            if zh <= lh and zw <= lw:
-                return fns["dec_whole"](self.vae_params, z)
-            return fns["dec"](self.vae_params, z_pad, i0, j0)
-
-        pixels = vae_mod.tiled_decode_host(cfg.vae, z.shape, decode_window)
+            rows_i, cols_j = grid(zh, lh, fh), grid(zw, lw, fw)
+            pzh = max(rows_i[-1] + lh - zh, 0)
+            pzw = max(cols_j[-1] + lw - zw, 0)
+            z_pad = (
+                jnp.pad(z, ((0, 0), (0, 0), (0, pzh), (0, pzw), (0, 0)),
+                        mode="edge")
+                if pzh or pzw else z
+            )
+            coords = [(i, j) for i in rows_i for j in cols_j]
+            d_all = np.asarray(
+                fns["dec"](self.vae_params, z_pad,
+                           jnp.asarray(coords, jnp.int32)),
+                np.float32,
+            )  # [N, F, lh*8, lw*8, 3]
+            lookup = {c: k for k, c in enumerate(coords)}
+            pixels = vae_mod.tiled_decode_host(
+                cfg.vae, z.shape,
+                lambda i0, i1, j0, j1: d_all[lookup[(i0, j0)]][None],
+            )
         out = np.clip(pixels[0] * 0.5 + 0.5, 0.0, 1.0)
         if timing:
             print(f"stage dec: {time.time() - t2:.2f}s", flush=True)
