@@ -125,58 +125,136 @@ class DovePipeline:
     # instead of unrolling every tile into a single giant XLA program.
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _grid(size: int, tile: int, factor: float) -> list[int]:
+        stride = max(int(tile * (1 - factor)), 1)
+        return list(range(0, size, stride)) if size > tile else [0]
+
+    @staticmethod
+    def _feather_assemble(
+        tiles: jnp.ndarray,  # [N, F, th, tw, C]
+        n_rows: int, n_cols: int,
+        blend_h: int, blend_w: int,
+        out_h: int, out_w: int,
+    ) -> jnp.ndarray:
+        """Device-side feathered assembly of row-major tiles -> [F, H, W, C].
+
+        Static Python loops over the tile grid — cheap elementwise lerps that
+        XLA fuses; keeping assembly on device means the host only ever
+        transfers the FINAL clip (transfer bandwidth, not FLOPs, dominates on
+        tunneled TPU setups)."""
+        th, tw = tiles.shape[2], tiles.shape[3]
+
+        def lerp(a_band, b_band, extent, axis):
+            shape = [1] * b_band.ndim
+            shape[axis] = extent
+            w = (jnp.arange(extent, dtype=jnp.float32) / extent).reshape(shape)
+            af = a_band.astype(jnp.float32)
+            bf = b_band.astype(jnp.float32)
+            return (af * (1 - w) + bf * w).astype(b_band.dtype)
+
+        row_limit_h = th - blend_h
+        row_limit_w = tw - blend_w
+        result_rows = []
+        prev_row: list | None = None
+        for r in range(n_rows):
+            row = [tiles[r * n_cols + c] for c in range(n_cols)]
+            out_row = []
+            for c, tile in enumerate(row):
+                if prev_row is not None and blend_h > 0:
+                    band = lerp(prev_row[c][:, -blend_h:], tile[:, :blend_h],
+                                blend_h, 1)
+                    tile = jnp.concatenate([band, tile[:, blend_h:]], axis=1)
+                if c > 0 and blend_w > 0:
+                    band = lerp(row[c - 1][:, :, -blend_w:],
+                                tile[:, :, :blend_w], blend_w, 2)
+                    tile = jnp.concatenate([band, tile[:, :, blend_w:]], axis=2)
+                out_row.append(tile[:, :row_limit_h, :row_limit_w])
+            result_rows.append(jnp.concatenate(out_row, axis=2))
+            prev_row = row
+        out = jnp.concatenate(result_rows, axis=1)
+        return out[:, :out_h, :out_w]
+
     def _staged_fns(self):
         if self._staged:
             return self._staged
         cfg = self.config
+        fh = cfg.vae.tile_overlap_factor_height
+        fw = cfg.vae.tile_overlap_factor_width
+        s = cfg.vae.spatial_scale
 
-        # Uniform-window encode/decode: the window position is a TRACED
-        # argument (lax.dynamic_slice), so every tile of a clip runs the SAME
-        # compiled program — one compile per stage instead of one per ragged
-        # edge-tile shape, and no eager slicing between calls. Edge windows
-        # read into edge-replicated padding; the feathered assembly trims the
-        # padded region away.
-        def enc(params, video_padded, coords):
-            """ALL windows in one program: lax.map runs the encoder body
-            sequentially per window (one window's activations live at a
-            time), so the whole tiled encode is a single device call —
-            per-call dispatch latency through remote TPU stacks would
-            otherwise dominate. coords: [N, 2] int32 window origins."""
-            B, F = video_padded.shape[:2]
-            th = cfg.vae.tile_sample_min_height
-            tw = cfg.vae.tile_sample_min_width
+        def enc_all(params, lq):
+            """Upscale + window + encode + feather-assemble, ONE program.
+
+            lq: [1, F, H, W, 3] in [-1, 1] at LQ resolution (tiny upload);
+            returns assembled moments [1, F', H*u/8, W*u/8, 2C]."""
+            B, F, H, W, _ = lq.shape
+            u = cfg.upscale
+            Hu, Wu = H * u, W * u
+            up = jax.image.resize(
+                lq.astype(jnp.float32), (B, F, Hu, Wu, 3), "bilinear"
+            ).astype(lq.dtype)
+            th, tw = cfg.vae.tile_sample_min_height, cfg.vae.tile_sample_min_width
+            if Hu <= th and Wu <= tw:
+                return vae_mod.encode_moments(cfg.vae, params, up)
+            rows_i = self._grid(Hu, th, fh)
+            cols_j = self._grid(Wu, tw, fw)
+            ph = max(rows_i[-1] + th - Hu, 0)
+            pw = max(cols_j[-1] + tw - Wu, 0)
+            up = jnp.pad(up, ((0, 0), (0, 0), (0, ph), (0, pw), (0, 0)),
+                         mode="edge")
+            coords = jnp.asarray(
+                [(i, j) for i in rows_i for j in cols_j], jnp.int32
+            )
 
             def one(ij):
                 tile = jax.lax.dynamic_slice(
-                    video_padded, (0, 0, ij[0], ij[1], 0), (B, F, th, tw, 3)
+                    up, (0, 0, ij[0], ij[1], 0), (B, F, th, tw, 3)
                 )
                 return vae_mod.encode_moments(cfg.vae, params, tile)[0]
 
-            return jax.lax.map(one, coords)
+            tiles = jax.lax.map(one, coords)
+            moments = self._feather_assemble(
+                tiles, len(rows_i), len(cols_j),
+                int((th // s) * fh), int((tw // s) * fw),
+                Hu // s, Wu // s,
+            )
+            return moments[None]
 
-        def dec(params, z_padded, coords):
-            B, Fl = z_padded.shape[:2]
-            s = cfg.vae.spatial_scale
+        def dec_all(params, z):
+            """Window + decode + feather-assemble + uint8 quantize, ONE
+            program. z: [1, F', h, w, C] (unscaled latent); returns
+            [F, H, W, 3] uint8."""
+            B, Fl, zh, zw, C = z.shape
             lh = cfg.vae.decode_tile_latent_height or cfg.vae.tile_sample_min_height // s
             lw = cfg.vae.decode_tile_latent_width or cfg.vae.tile_sample_min_width // s
-            C = z_padded.shape[-1]
+            if zh <= lh and zw <= lw:
+                pixels = vae_mod.decode(cfg.vae, params, z)[0]
+            else:
+                rows_i = self._grid(zh, lh, fh)
+                cols_j = self._grid(zw, lw, fw)
+                pzh = max(rows_i[-1] + lh - zh, 0)
+                pzw = max(cols_j[-1] + lw - zw, 0)
+                zp = jnp.pad(z, ((0, 0), (0, 0), (0, pzh), (0, pzw), (0, 0)),
+                             mode="edge") if pzh or pzw else z
 
-            def one(ij):
-                tile = jax.lax.dynamic_slice(
-                    z_padded, (0, 0, ij[0], ij[1], 0), (B, Fl, lh, lw, C)
+                def one(ij):
+                    tile = jax.lax.dynamic_slice(
+                        zp, (0, 0, ij[0], ij[1], 0), (B, Fl, lh, lw, C)
+                    )
+                    return vae_mod.decode(cfg.vae, params, tile)[0]
+
+                tiles = jax.lax.map(one, coords := jnp.asarray(
+                    [(i, j) for i in rows_i for j in cols_j], jnp.int32
+                ))
+                del coords
+                pixels = self._feather_assemble(
+                    tiles, len(rows_i), len(cols_j),
+                    int(lh * s * fh), int(lw * s * fw),
+                    zh * s, zw * s,
                 )
-                return vae_mod.decode(cfg.vae, params, tile)[0]
-
-            return jax.lax.map(one, coords)
-
-        enc = jax.jit(enc)
-        dec = jax.jit(dec)
-        enc_whole = jax.jit(
-            lambda params, v: vae_mod.encode_moments(cfg.vae, params, v)
-        )
-        dec_whole = jax.jit(
-            lambda params, zz: vae_mod.decode(cfg.vae, params, zz)
-        )
+            out01 = jnp.clip(pixels.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
+            return jnp.round(out01 * 255.0).astype(jnp.uint8)
 
         def dit_step(dit_params, prompt, moments, rng):
             # moments: [B, F', h, w, 2C] -> sample, one-step denoise, unscale
@@ -196,8 +274,9 @@ class DovePipeline:
             return x0 / jnp.asarray(cfg.vae.scaling_factor, x0.dtype)
 
         self._staged = {
-            "enc": enc, "dec": dec, "dit": jax.jit(dit_step),
-            "enc_whole": enc_whole, "dec_whole": dec_whole,
+            "enc_all": jax.jit(enc_all),
+            "dec_all": jax.jit(dec_all),
+            "dit": jax.jit(dit_step),
         }
         return self._staged
 
@@ -209,85 +288,34 @@ class DovePipeline:
         timing = bool(os.environ.get("DOVE_STAGE_TIMING"))
         t0 = time.time()
         fns = self._staged_fns()
-        cfg = self.config
-        F, H, W, _ = clip.shape
 
-        def grid(size: int, tile: int, factor: float) -> list[int]:
-            stride = max(int(tile * (1 - factor)), 1)
-            return list(range(0, size, stride))
-
-        fh = cfg.vae.tile_overlap_factor_height
-        fw = cfg.vae.tile_overlap_factor_width
-        th = cfg.vae.tile_sample_min_height
-        tw = cfg.vae.tile_sample_min_width
-
-        if H <= th and W <= tw:  # untiled: whole (unpadded) frame
-            video = jnp.asarray(clip[None], self.dtype)
-            moments = np.asarray(
-                fns["enc_whole"](self.vae_params, video), np.float32
-            )
-        else:
-            rows_i, cols_j = grid(H, th, fh), grid(W, tw, fw)
-            ph = max(rows_i[-1] + th - H, 0)
-            pw = max(cols_j[-1] + tw - W, 0)
-            padded = np.pad(clip, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
-            video = jnp.asarray(padded[None], self.dtype)
-            coords = [(i, j) for i in rows_i for j in cols_j]
-            m_all = np.asarray(
-                fns["enc"](self.vae_params, video,
-                           jnp.asarray(coords, jnp.int32)),
-                np.float32,
-            )  # [N, F', th/8, tw/8, 2C]
-            lookup = {c: k for k, c in enumerate(coords)}
-            moments = vae_mod.tiled_encode_moments_host(
-                cfg.vae, (1, F, H, W, 3),
-                lambda i0, i1, j0, j1: m_all[lookup[(i0, j0)]][None],
-            )
+        # Upload the tiny LQ clip; everything else (x4 upscale, windows,
+        # feathered assembly, uint8 quantization) happens on device, and one
+        # uint8 clip comes back. Transfer volume drops ~6x vs moving the
+        # upscaled video + decoded tiles across the host boundary.
+        lq = jnp.asarray(clip[None], self.dtype)
+        moments = fns["enc_all"](self.vae_params, lq)
         if timing:
+            moments.block_until_ready()
             t1 = time.time()
             print(f"stage enc: {t1 - t0:.2f}s", flush=True)
+        else:
+            t1 = t0
 
         z = fns["dit"](
-            self.dit_params, self.prompt_embedding,
-            jnp.asarray(moments, self.dtype), rng,
+            self.dit_params, self.prompt_embedding, moments, rng
         )
-        z.block_until_ready()
         if timing:
+            z.block_until_ready()
             t2 = time.time()
             print(f"stage dit: {t2 - t1:.2f}s", flush=True)
-
-        s = cfg.vae.spatial_scale
-        lh = cfg.vae.decode_tile_latent_height or th // s
-        lw = cfg.vae.decode_tile_latent_width or tw // s
-        zh, zw = z.shape[2], z.shape[3]
-        if zh <= lh and zw <= lw:
-            pixels = np.asarray(
-                fns["dec_whole"](self.vae_params, z), np.float32
-            )
         else:
-            rows_i, cols_j = grid(zh, lh, fh), grid(zw, lw, fw)
-            pzh = max(rows_i[-1] + lh - zh, 0)
-            pzw = max(cols_j[-1] + lw - zw, 0)
-            z_pad = (
-                jnp.pad(z, ((0, 0), (0, 0), (0, pzh), (0, pzw), (0, 0)),
-                        mode="edge")
-                if pzh or pzw else z
-            )
-            coords = [(i, j) for i in rows_i for j in cols_j]
-            d_all = np.asarray(
-                fns["dec"](self.vae_params, z_pad,
-                           jnp.asarray(coords, jnp.int32)),
-                np.float32,
-            )  # [N, F, lh*8, lw*8, 3]
-            lookup = {c: k for k, c in enumerate(coords)}
-            pixels = vae_mod.tiled_decode_host(
-                cfg.vae, z.shape,
-                lambda i0, i1, j0, j1: d_all[lookup[(i0, j0)]][None],
-            )
-        out = np.clip(pixels[0] * 0.5 + 0.5, 0.0, 1.0)
+            t2 = t1
+
+        out_u8 = np.asarray(fns["dec_all"](self.vae_params, z))
         if timing:
             print(f"stage dec: {time.time() - t2:.2f}s", flush=True)
-        return out
+        return out_u8.astype(np.float32) / 255.0
 
     def compiled_sr(self, shape: tuple) -> Callable:
         """jit-compiled sr_tile for a given [B, F, H, W, 3] tile shape."""
@@ -326,23 +354,24 @@ class DovePipeline:
         """
         upscale = self.config.upscale if upscale is None else upscale
         padded, (pad_f, pad_h, pad_w) = tiling.pad_video(frames)
-        from dove_tpu import native
-
-        if native.available() and upscale_mode == "bilinear":
-            # multithreaded C++ upscale with the [-1,1] normalize fused in
-            up = native.upscale_bilinear(padded, upscale, normalize=True)
-        else:
-            up = video_io.bilinear_upscale(padded, upscale, upscale_mode) * 2.0 - 1.0
-
-        F, H, W, _ = up.shape
 
         if self.vae_tiling and tuple(tile_size_hw) == (0, 0):
             # Reference-default path: full-frame DiT, VAE handles memory.
+            # The x4 upscale happens ON DEVICE inside the staged encode, so
+            # only the tiny LQ clip crosses the host boundary.
+            if upscale != self.config.upscale:
+                raise ValueError(
+                    "the staged (--is_vae_st) path upscales on device using "
+                    "config.upscale; rebuild the pipeline config to change it"
+                )
+            lq = padded * 2.0 - 1.0  # [-1, 1] at LQ resolution
+            F, Hl, Wl, _ = lq.shape
+            H, W = Hl * upscale, Wl * upscale
             effective_ot = overlap_t if chunk_len > 0 else 0
             stitcher = tiling.Stitcher(3, F, H, W, effective_ot, (0, 0))
             rng = jax.random.PRNGKey(seed)
             for ts, te in tiling.temporal_chunks(F, chunk_len, effective_ot):
-                data = up[ts:te]
+                data = lq[ts:te]
                 nf = data.shape[0]
                 valid_nf = tiling.next_valid_frames(nf)
                 if valid_nf != nf:
@@ -360,6 +389,16 @@ class DovePipeline:
                 result, pad_f, pad_h * upscale, pad_w * upscale
             )
             return result.transpose(1, 2, 3, 0)
+
+        from dove_tpu import native
+
+        if native.available() and upscale_mode == "bilinear":
+            # multithreaded C++ upscale with the [-1,1] normalize fused in
+            up = native.upscale_bilinear(padded, upscale, normalize=True)
+        else:
+            up = video_io.bilinear_upscale(padded, upscale, upscale_mode) * 2.0 - 1.0
+
+        F, H, W, _ = up.shape
 
         tiles = tiling.plan_tiles(
             F, H, W, chunk_len, tile_size_hw, overlap_t, overlap_hw

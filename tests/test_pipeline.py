@@ -46,7 +46,10 @@ def test_staged_matches_fused_when_untiled(params):
     out_fused = _pipe(params_big).process_frames(frames)
     out_staged = _pipe(params_big, vae_tiling=True).process_frames(frames)
     assert out_fused.shape == out_staged.shape == (9, 32, 32, 3)
-    np.testing.assert_allclose(out_fused, out_staged, atol=1e-4)
+    # staged path upscales on device (jax.image.resize) and returns uint8;
+    # tolerance covers quantization (1/255) + resize-impl differences
+    np.testing.assert_allclose(out_fused, out_staged, atol=0.02)
+    assert np.abs(out_fused - out_staged).mean() < 0.005
 
 
 def test_staged_with_vae_tiles_and_chunks(params):
