@@ -368,9 +368,27 @@ class DovePipeline:
             F, Hl, Wl, _ = lq.shape
             H, W = Hl * upscale, Wl * upscale
             effective_ot = overlap_t if chunk_len > 0 else 0
-            stitcher = tiling.Stitcher(3, F, H, W, effective_ot, (0, 0))
+            chunks = tiling.temporal_chunks(F, chunk_len, effective_ot)
             rng = jax.random.PRNGKey(seed)
-            for ts, te in tiling.temporal_chunks(F, chunk_len, effective_ot):
+            if len(chunks) == 1:
+                # fast path: no temporal stitching, no [C,F,H,W] transposes
+                valid_nf = tiling.next_valid_frames(F)
+                data = lq
+                if valid_nf != F:
+                    data = np.concatenate(
+                        [data, np.repeat(data[-1:], valid_nf - F, axis=0)],
+                        axis=0,
+                    )
+                out = self._sr_clip_staged(data, rng)[:F]
+                if pad_f:
+                    out = out[:-pad_f]
+                if pad_h:
+                    out = out[:, : -pad_h * upscale]
+                if pad_w:
+                    out = out[:, :, : -pad_w * upscale]
+                return out
+            stitcher = tiling.Stitcher(3, F, H, W, effective_ot, (0, 0))
+            for ts, te in chunks:
                 data = lq[ts:te]
                 nf = data.shape[0]
                 valid_nf = tiling.next_valid_frames(nf)
