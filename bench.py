@@ -127,6 +127,8 @@ def main():
                 tile_batch=args.tile_batch,
             )
             times.append(time.time() - t0)
+            if _os.environ.get("DOVE_STAGE_TIMING"):
+                print(f"repeat total: {times[-1]:.2f}s", flush=True)
     clip_seconds = min(times)
 
     out_frames = out.shape[0]

@@ -364,6 +364,10 @@ class DovePipeline:
                     "the staged (--is_vae_st) path upscales on device using "
                     "config.upscale; rebuild the pipeline config to change it"
                 )
+            import os as _os
+
+            _timing = bool(_os.environ.get("DOVE_STAGE_TIMING"))
+            _t_pre = time.time()
             lq = padded * 2.0 - 1.0  # [-1, 1] at LQ resolution
             F, Hl, Wl, _ = lq.shape
             H, W = Hl * upscale, Wl * upscale
@@ -379,13 +383,18 @@ class DovePipeline:
                         [data, np.repeat(data[-1:], valid_nf - F, axis=0)],
                         axis=0,
                     )
+                if _timing:
+                    print(f"stage pre: {time.time() - _t_pre:.2f}s", flush=True)
                 out = self._sr_clip_staged(data, rng)[:F]
+                _t_post = time.time()
                 if pad_f:
                     out = out[:-pad_f]
                 if pad_h:
                     out = out[:, : -pad_h * upscale]
                 if pad_w:
                     out = out[:, :, : -pad_w * upscale]
+                if _timing:
+                    print(f"stage post: {time.time() - _t_post:.2f}s", flush=True)
                 return out
             stitcher = tiling.Stitcher(3, F, H, W, effective_ot, (0, 0))
             for ts, te in chunks:
