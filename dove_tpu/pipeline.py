@@ -119,11 +119,20 @@ class DovePipeline:
 
     # ------------------------------------------------------------------
     # Staged full-clip path (reference default: --is_vae_st, no outer tiles;
-    # inference.sh runs all 6 benchmarks this way). Three jitted programs —
-    # VAE-tile encode, full-clip DiT step, VAE-tile decode — so the host-side
-    # feathered VAE tiling reuses ONE compiled program per tile geometry
-    # instead of unrolling every tile into a single giant XLA program.
+    # inference.sh runs all 6 benchmarks this way). Exactly THREE device
+    # calls per temporal chunk — enc_all (on-device x4 upscale + lax.map over
+    # VAE windows + feathered assembly), the full-clip DiT step, and dec_all
+    # (lax.map windows + assembly + uint8 quantize) — so per-call dispatch
+    # latency and host<->device transfer volume are both minimized: the tiny
+    # LQ clip goes up, one uint8 clip comes back. See docs/DESIGN.md §7.
     # ------------------------------------------------------------------
+
+    @staticmethod
+    def _barrier(x: jnp.ndarray) -> None:
+        """Reliable device fence: pull one element to host. On relay-backed
+        TPU runtimes ``block_until_ready`` can return before remote execution
+        finishes; a host data dependency cannot."""
+        np.asarray(jax.device_get(x[(0,) * x.ndim]))
 
     @staticmethod
     def _grid(size: int, tile: int, factor: float) -> list[int]:
@@ -281,8 +290,10 @@ class DovePipeline:
         return self._staged
 
     def _sr_clip_staged(self, clip: np.ndarray, rng: jax.Array) -> np.ndarray:
-        """One temporal chunk at full spatial size with internal VAE tiling.
-        clip: [F, H, W, 3] np float32 in [-1, 1] -> [F, H, W, 3] in [0, 1]."""
+        """One temporal chunk with on-device x4 upscale + internal VAE tiling.
+
+        clip: [F, H, W, 3] np float32 in [-1, 1] at LQ resolution (the x4
+        upscale runs inside enc_all). Returns [F, H*u, W*u, 3] in [0, 1]."""
         import os
 
         timing = bool(os.environ.get("DOVE_STAGE_TIMING"))
@@ -295,22 +306,21 @@ class DovePipeline:
         # upscaled video + decoded tiles across the host boundary.
         lq = jnp.asarray(clip[None], self.dtype)
         moments = fns["enc_all"](self.vae_params, lq)
+        # Stage barriers are REQUIRED, not just for timing: with 10.4 GB of
+        # resident DiT weights, a queued DiT program's temp allocation must
+        # not overlap the encode program's still-live temps.
+        self._barrier(moments)
+        t1 = time.time()
         if timing:
-            moments.block_until_ready()
-            t1 = time.time()
             print(f"stage enc: {t1 - t0:.2f}s", flush=True)
-        else:
-            t1 = t0
 
         z = fns["dit"](
             self.dit_params, self.prompt_embedding, moments, rng
         )
+        self._barrier(z)
+        t2 = time.time()
         if timing:
-            z.block_until_ready()
-            t2 = time.time()
             print(f"stage dit: {t2 - t1:.2f}s", flush=True)
-        else:
-            t2 = t1
 
         out_u8 = np.asarray(fns["dec_all"](self.vae_params, z))
         if timing:
@@ -371,7 +381,34 @@ class DovePipeline:
             lq = padded * 2.0 - 1.0  # [-1, 1] at LQ resolution
             F, Hl, Wl, _ = lq.shape
             H, W = Hl * upscale, Wl * upscale
+
+            # Auto temporal chunking: a 720p-output pass budget of ~33 frames
+            # keeps enc/dec temps (~3 GB each) inside HBM next to the 10.4 GB
+            # resident DiT. Longer clips split into uniform overlapping
+            # chunks; the clip is tail-padded so every chunk has the SAME
+            # length (uniform stride -> exact-coverage trim works, and the
+            # reference's merge-short-tail rule can't collapse the plan).
+            MAX_FRAMES_PER_PASS = 33
+            if chunk_len == 0 and F > MAX_FRAMES_PER_PASS:
+                chunk_len = MAX_FRAMES_PER_PASS
+                logger.warning(
+                    "staged path: auto temporal chunking %d frames into "
+                    "%d-frame passes", F, chunk_len,
+                )
             effective_ot = overlap_t if chunk_len > 0 else 0
+            extra_f = 0
+            if chunk_len and F > chunk_len:
+                import math as _math
+
+                stride = chunk_len - effective_ot
+                k = _math.ceil((F - chunk_len) / stride)
+                f_ext = chunk_len + k * stride
+                extra_f = f_ext - F
+                if extra_f:
+                    lq = np.concatenate(
+                        [lq, np.repeat(lq[-1:], extra_f, axis=0)], axis=0
+                    )
+                F = f_ext
             chunks = tiling.temporal_chunks(F, chunk_len, effective_ot)
             rng = jax.random.PRNGKey(seed)
             if len(chunks) == 1:
@@ -387,6 +424,8 @@ class DovePipeline:
                     print(f"stage pre: {time.time() - _t_pre:.2f}s", flush=True)
                 out = self._sr_clip_staged(data, rng)[:F]
                 _t_post = time.time()
+                if extra_f:
+                    out = out[:-extra_f]
                 if pad_f:
                     out = out[:-pad_f]
                 if pad_h:
@@ -413,7 +452,7 @@ class DovePipeline:
                 )
             result = stitcher.finalize()
             result = tiling.unpad_video(
-                result, pad_f, pad_h * upscale, pad_w * upscale
+                result, pad_f + extra_f, pad_h * upscale, pad_w * upscale
             )
             return result.transpose(1, 2, 3, 0)
 

@@ -112,13 +112,26 @@ def load_pipeline(args):
             logging.info("fused LoRA weights from %s", lora_file)
         vae_params = weights.load_vae(args.model_path, cfg.vae, dtype)
     else:
-        logging.warning("no --model_path: using random weights (%s preset)", args.preset)
+        logging.warning(
+            "no --model_path: zero weights, %s preset (smoke/bench mode; "
+            "random 5B init would need RNG temp buffers beyond chip HBM)",
+            args.preset,
+        )
         from dove_tpu.models.dit import init_dit_params
         from dove_tpu.models.vae import init_vae_params
 
         key = jax.random.PRNGKey(0)
-        dit_params = init_dit_params(key, cfg.dit, dtype)
-        vae_params = init_vae_params(jax.random.fold_in(key, 1), cfg.vae, dtype)
+        if args.preset == "tiny":
+            dit_params = init_dit_params(key, cfg.dit, dtype)
+            vae_params = init_vae_params(jax.random.fold_in(key, 1), cfg.vae, dtype)
+        else:
+            zeros = lambda shapes: jax.tree.map(
+                lambda x: jnp.zeros(x.shape, x.dtype), shapes
+            )
+            dit_params = zeros(jax.eval_shape(
+                lambda k: init_dit_params(k, cfg.dit, dtype), key))
+            vae_params = zeros(jax.eval_shape(
+                lambda k: init_vae_params(k, cfg.vae, dtype), key))
 
     # Empty-prompt embedding: the shipped cache bypasses the T5 encoder.
     emb_path = Path("pretrained_models/prompt_embeddings/"
