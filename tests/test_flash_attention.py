@@ -1,7 +1,5 @@
 """Pallas flash attention vs the naive fp32 oracle (interpreter mode, CPU)."""
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
