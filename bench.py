@@ -68,6 +68,7 @@ def build_pipeline(preset: str, vae_tiling: bool = True):
         prompt_embedding=prompt,
         dtype=dtype,
         vae_tiling=vae_tiling,
+        output_uint8=vae_tiling,  # measure through to the writable artifact
     )
 
 

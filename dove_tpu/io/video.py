@@ -66,7 +66,9 @@ def load_sequence(path: str | Path) -> np.ndarray:
 
 
 def _to_uint8(video: np.ndarray) -> np.ndarray:
-    """[F, H, W, 3] float [0,1] -> uint8."""
+    """[F, H, W, 3] float [0,1] (or already-uint8) -> uint8."""
+    if video.dtype == np.uint8:
+        return video
     return np.clip(video * 255.0, 0, 255).astype(np.uint8)
 
 

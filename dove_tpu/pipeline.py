@@ -48,6 +48,7 @@ class DovePipeline:
     sample_posterior: bool = True  # reference samples latent_dist at inference
     donate_input: bool = True
     vae_tiling: bool = False  # --is_vae_st: internal VAE tiling, no outer tiles
+    output_uint8: bool = False  # staged path: skip the uint8->f32 roundtrip
 
     def __post_init__(self):
         self.schedule = Schedule.create(self.config.scheduler)
@@ -325,6 +326,8 @@ class DovePipeline:
         out_u8 = np.asarray(fns["dec_all"](self.vae_params, z))
         if timing:
             print(f"stage dec: {time.time() - t2:.2f}s", flush=True)
+        if self.output_uint8:
+            return out_u8  # writers accept uint8 directly
         return out_u8.astype(np.float32) / 255.0
 
     def compiled_sr(self, shape: tuple) -> Callable:
@@ -447,6 +450,8 @@ class DovePipeline:
                     )
                 rng, step_rng = jax.random.split(rng)
                 out = self._sr_clip_staged(data, step_rng)[:nf]
+                if out.dtype == np.uint8:
+                    out = out.astype(np.float32) / 255.0
                 stitcher.add(
                     tiling.Tile(ts, te, 0, H, 0, W), out.transpose(3, 0, 1, 2)
                 )

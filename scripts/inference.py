@@ -156,6 +156,8 @@ def load_pipeline(args):
         config=cfg, dit_params=dit_params, vae_params=vae_params,
         prompt_embedding=prompt_embedding, dtype=dtype,
         vae_tiling=args.is_vae_st,
+        # writers take uint8 directly; keep float when metrics need [0,1]
+        output_uint8=args.is_vae_st and not args.eval_metrics,
     )
 
 
