@@ -61,3 +61,12 @@ def test_staged_with_vae_tiles_and_chunks(params):
     assert out.shape == (12, 96, 160, 3)
     assert np.isfinite(out).all()
     assert 0.0 <= out.min() and out.max() <= 1.0
+
+
+def test_staged_auto_chunking_long_clip(params):
+    """Clips beyond the per-pass frame budget auto-chunk with uniform-stride
+    tail padding; output geometry and coverage must survive."""
+    frames = np.random.default_rng(2).random((41, 8, 8, 3)).astype(np.float32)
+    out = _pipe(params, vae_tiling=True).process_frames(frames)
+    assert out.shape == (41, 32, 32, 3)
+    assert np.isfinite(out).all()
