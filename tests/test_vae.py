@@ -180,3 +180,38 @@ def test_spatial_norm_commuted_equals_upsample_then_conv():
     cb, _ = causal_conv3d(p["conv_b"], zq_up, None)
     old = _group_norm(p["norm_layer"], x, 4, 1e-6) * cy + cb
     np.testing.assert_allclose(np.asarray(new), np.asarray(old), atol=1e-6)
+
+
+def test_host_assembled_tilers_match_device_tilers():
+    """tiled_*_host (host NumPy feather assembly, row-ahead dispatch) must
+    produce the same result as the device-side tiled variants."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dove_tpu.config import tiny_test
+    from dove_tpu.models import vae as vae_mod
+
+    cfg = tiny_test().vae
+    params = vae_mod.init_vae_params(jax.random.PRNGKey(0), cfg)
+    video = jax.random.uniform(jax.random.PRNGKey(1), (1, 5, 64, 64, 3)) * 2 - 1
+
+    dev_m = np.asarray(vae_mod.tiled_encode_moments(cfg, params, video))
+    host_m = vae_mod.tiled_encode_moments_host(
+        cfg, video.shape,
+        lambda i0, i1, j0, j1: np.asarray(
+            vae_mod.encode_moments(cfg, params, video[:, :, i0:i1, j0:j1]),
+            np.float32,
+        ),
+    )
+    np.testing.assert_allclose(host_m, dev_m, atol=1e-4)
+
+    lat = vae_mod.sample_latent(jnp.asarray(dev_m), None, 1.0)
+    dev_px = np.asarray(vae_mod.tiled_decode(cfg, params, lat))
+    host_px = vae_mod.tiled_decode_host(
+        cfg, lat.shape,
+        lambda i0, i1, j0, j1: np.asarray(
+            vae_mod.decode(cfg, params, lat[:, :, i0:i1, j0:j1]), np.float32
+        ),
+    )
+    np.testing.assert_allclose(host_px, dev_px, atol=1e-4)
