@@ -77,10 +77,15 @@ class VAEConfig:
     temporal_compression_ratio: int = 4
     scaling_factor: float = 0.7
     invert_scale_latents: bool = False
-    # Frame-slicing batch sizes used by chunked encode/decode (mirrors diffusers'
-    # num_sample_frames_batch_size / num_latent_frames_batch_size).
-    sample_frames_batch_size: int = 8
-    latent_frames_batch_size: int = 2
+    # Frame-slicing batch sizes used by chunked encode/decode (diffusers'
+    # num_sample_frames_batch_size / num_latent_frames_batch_size are 8 / 2).
+    # Larger defaults: on TPU the activation temp barely grows with the
+    # frame-chunk size (buffers are reused across frames), while each extra
+    # chunk body multiplies the program's op count — and per-op overhead, not
+    # FLOPs, dominates the chunked VAE. Memory-constrained callers pass
+    # chunk_frames explicitly.
+    sample_frames_batch_size: int = 64
+    latent_frames_batch_size: int = 16
     # Internal spatial tiling geometry (feathered blending), pixel space.
     tile_sample_min_height: int = 256
     tile_sample_min_width: int = 256
