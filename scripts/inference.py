@@ -180,6 +180,10 @@ def main(argv=None):
     metric_names = [m.strip() for m in args.eval_metrics.split(",") if m.strip()]
     accumulator = MetricAccumulator(metric_names) if metric_names else None
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    save_pool = ThreadPoolExecutor(max_workers=1)
+
     mesh = None
     if args.data_parallel > 1:
         from dove_tpu.parallel.mesh import make_mesh, shard_params
@@ -236,10 +240,17 @@ def main(argv=None):
                 gt = video_io.load_sequence(Path(args.gt_dir) / vpath.name)
             accumulator.add(vpath.name, out, gt)
 
+        # overlap the (host-only) encode/write of this clip with the next
+        # clip's device work
         if args.png_save:
-            video_io.save_frames_as_png(out, out_dir / vpath.stem)
+            save_pool.submit(
+                video_io.save_frames_as_png, out, out_dir / vpath.stem
+            )
         else:
-            video_io.save_video(out, out_dir / (vpath.stem + ".mp4"), fps=args.fps)
+            save_pool.submit(
+                video_io.save_video, out, out_dir / (vpath.stem + ".mp4"),
+                args.fps,
+            )
 
     if accumulator is not None:
         summary = accumulator.summary()
@@ -249,6 +260,7 @@ def main(argv=None):
         out_name = "metrics_" + "_".join(metric_names) + ".json"
         (out_dir / out_name).write_text(json.dumps(summary, indent=2))
 
+    save_pool.shutdown(wait=True)
     print("All videos processed.")
 
 

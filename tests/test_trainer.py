@@ -239,3 +239,44 @@ def test_stage1_latent_cache(data_dir, tmp_path):
         (out / "train_log.jsonl").read_text().strip().splitlines()[-1]
     )
     assert np.isfinite(rec["loss"])
+
+
+def test_stage2_with_perceptual_loss(data_dir, tmp_path):
+    """DISTS perceptual path (random VGG features) + edge-aware variant."""
+    out = tmp_path / "s2p"
+    args = _base_args(
+        data_dir, out,
+        model_name="dove-s2",
+        model_type="real-sr-image-video",
+        training_type="lora",
+        image_column=data_dir / "images.txt",
+        train_resolution=(5, 32, 32),
+        train_steps=1,
+        image_ratio=0.0,
+        use_perceptual_loss=True,
+        ea_dists_weight=1.0,
+        frame_diff_weight=0.5,
+        batch_size=1,
+    )
+    from dove_tpu.train.trainer import DOVES2Trainer
+
+    trainer = DOVES2Trainer(args)
+    trainer.fit()
+    rec = json.loads(
+        (out / "train_log.jsonl").read_text().strip().splitlines()[-1]
+    )
+    assert np.isfinite(rec["loss"])
+    assert "loss_perceptual" in rec
+
+
+def test_args_validators():
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        Args(model_path="x", train_resolution="25x321x640")  # H%16
+    with _pytest.raises(Exception):
+        Args(model_path="x", train_resolution="24x320x640")  # (F-1)%4
+    with _pytest.raises(Exception):
+        Args(model_path="x", do_validation=True)  # needs validation_dir
+    a = Args(model_path="x", train_resolution="25x320x640")
+    assert a.train_resolution == (25, 320, 640)
