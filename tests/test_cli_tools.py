@@ -1,0 +1,116 @@
+"""Smoke tests for the auxiliary CLI tools (subprocess, CPU)."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import cv2
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+# NB: the axon site plugin ignores JAX_PLATFORMS; scripts that touch jax
+# force CPU themselves via jax.config.update.
+ENV = {**os.environ, "JAX_PLATFORMS": "cpu"}
+
+
+def run_cli(script, *args, timeout=300):
+    return subprocess.run(
+        [sys.executable, str(REPO / "scripts" / script), *map(str, args)],
+        capture_output=True, text=True, timeout=timeout, env=ENV, cwd=str(REPO),
+    )
+
+
+def test_prepare_dataset_manifest(tmp_path):
+    d = tmp_path / "clips"
+    d.mkdir()
+    for name in ("a.mp4", "b.mkv", "skip.txt"):
+        (d / name).write_bytes(b"x")
+    out = tmp_path / "list.txt"
+    res = run_cli("prepare_dataset.py", "--data_dir", d, "--output", out)
+    assert res.returncode == 0, res.stderr
+    lines = out.read_text().splitlines()
+    assert lines == ["clips/a.mp4", "clips/b.mkv"]
+
+
+def test_convert_frames_to_video(tmp_path):
+    clip = tmp_path / "frames" / "clipA"
+    clip.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        cv2.imwrite(str(clip / f"{i:03d}.png"),
+                    rng.integers(0, 255, (32, 32, 3), np.uint8))
+    out = tmp_path / "videos"
+    res = run_cli(
+        "convert_frames_to_video.py", "--input_dir", tmp_path / "frames",
+        "--output_dir", out, "--manifest", tmp_path / "videos.txt",
+    )
+    assert res.returncode == 0, res.stderr
+    assert (out / "clipA.mp4").exists()
+    assert "clipA.mp4" in (tmp_path / "videos.txt").read_text()
+
+
+def test_eval_external_dry_run(tmp_path):
+    pred = tmp_path / "pred"
+    pred.mkdir()
+    (tmp_path / "DOVER").mkdir()
+    # a frame-folder sample exercises the normalize-to-video step
+    sub = pred / "clip"
+    sub.mkdir()
+    for i in range(2):
+        cv2.imwrite(str(sub / f"{i:03d}.png"), np.zeros((16, 16, 3), np.uint8))
+    res = run_cli(
+        "eval_external.py", "dover", "--pred_dir", pred,
+        "--tool_dir", tmp_path / "DOVER", "--dry_run",
+    )
+    assert res.returncode == 0, res.stderr
+    assert "exec:" in res.stdout
+
+    # missing checkout -> clear error
+    res2 = run_cli(
+        "eval_external.py", "vbench", "--pred_dir", pred,
+        "--tool_dir", tmp_path / "nope", "--dry_run",
+    )
+    assert res2.returncode != 0
+    assert "checkout not found" in (res2.stdout + res2.stderr)
+
+
+def test_prepare_sft_ckpt_lora(tmp_path):
+    """Package a LoRA checkpoint from an orbax run dir via the CLI."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from dove_tpu.config import tiny_test
+    from dove_tpu.train import checkpointing as ckpt
+    from dove_tpu.train.lora import init_lora_params
+
+    lora = init_lora_params(jax.random.PRNGKey(0), tiny_test().dit, rank=4)
+    run_dir = tmp_path / "run"
+    ckpt.save_checkpoint(run_dir, 7, {"trainable": lora, "step": 7})
+
+    out = tmp_path / "packaged"
+    res = run_cli(
+        "prepare_sft_ckpt.py", "--run_dir", run_dir, "--output_dir", out,
+        "--training_type", "lora", "--base_preset", "tiny", "--rank", "4",
+    )
+    assert res.returncode == 0, res.stderr
+    assert (out / "pytorch_lora_weights.safetensors").exists()
+
+
+def test_bench_tiny_smoke(monkeypatch, capsys):
+    """The driver's round-end bench path must always emit a parseable JSON line.
+
+    Runs in-process (conftest already forced the CPU platform; the axon site
+    plugin ignores the JAX_PLATFORMS env var in a subprocess).
+    """
+    import bench
+
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--tiny", "--repeats", "1"])
+    bench.main()
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l]
+    rec = json.loads(lines[-1])
+    assert rec["metric"] == "one_step_4x_vsr_clip_seconds"
+    for key in ("value", "unit", "vs_baseline", "detail"):
+        assert key in rec
+    assert rec["value"] > 0
