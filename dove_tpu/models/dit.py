@@ -154,7 +154,9 @@ def _attention(
             [k[:, :, :text_len], apply_rotary(k[:, :, text_len:], cos, sin)], axis=2
         )
 
-    out = full_attention(q, k, v, backend=backend)
+    # qk-layernorm bounds per-head logits (|s| <= ~8 * max|gamma_q||gamma_k|),
+    # so the flash kernel can skip its online-softmax running max.
+    out = full_attention(q, k, v, backend=backend, bounded_logits=True)
     out = out.transpose(0, 2, 1, 3).reshape(B, S, H * D)
     out = _linear(p["to_out"], out)
     return out[:, text_len:], out[:, :text_len]

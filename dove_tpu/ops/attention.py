@@ -46,14 +46,23 @@ def full_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     backend: str | None = None,
+    bounded_logits: bool = False,
 ) -> jnp.ndarray:
-    """Full bidirectional attention. q,k,v: [B, H, S, D] -> [B, H, S, D]."""
+    """Full bidirectional attention. q,k,v: [B, H, S, D] -> [B, H, S, D].
+
+    bounded_logits: promise that |q.k/sqrt(D)| stays well inside fp32 exp
+    range — lets the flash kernel drop its online-softmax running max (the
+    DiT's qk-layernorm guarantees this; see flash_attention docstring)."""
     if backend is None:
         backend = "flash" if (_flash_available() and q.shape[-2] >= 2048) else "xla"
     if backend == "flash":
-        from dove_tpu.ops.pallas.flash_attention import flash_attention
+        from dove_tpu.ops.pallas.flash_attention import (
+            DEFAULT_BLOCK_K, DEFAULT_BLOCK_Q, flash_attention,
+        )
 
-        return flash_attention(q, k, v)
+        return flash_attention(
+            q, k, v, None, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K, bounded_logits
+        )
     if backend == "xla":
         return _naive_attention(q, k, v)
     raise ValueError(f"unknown attention backend: {backend}")

@@ -76,43 +76,62 @@ def _fwd_kernel(
     q_ref, k_ref, v_ref,  # [1, block, D]
     o_ref,                # [1, block_q, D]
     *rest,                # [lse_ref when with_lse] + scratch
-    scale: float, kv_len: int, block_k: int, with_lse: bool,
+    scale: float, kv_len: int, block_k: int, with_lse: bool, bounded: bool,
 ):
     if with_lse:
-        lse_ref, m_scr, l_scr, acc_scr = rest
+        lse_ref, *scratch = rest
     else:
-        m_scr, l_scr, acc_scr = rest
+        scratch = rest
+    if bounded:
+        l_scr, acc_scr = scratch
+    else:
+        m_scr, l_scr, acc_scr = scratch
     kj = pl.program_id(2)
     nk = pl.num_programs(2)
 
     @pl.when(kj == 0)
     def _init():
-        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        if not bounded:
+            m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     q = q_ref[0]
     k = k_ref[0]
+    # bounded: fold log2(e) into the scale and use exp2 — the VPU's pow2 is
+    # cheaper than the exp polynomial, and 2^(s*log2 e) == e^s exactly.
+    eff_scale = scale * (1.4426950408889634 if bounded else 1.0)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [bq, bk]
+    ) * eff_scale  # [bq, bk]
 
     if kv_len % block_k:  # static: mask the padded tail block's columns
         col = kj * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_len, s, -jnp.inf)
 
-    m_prev = m_scr[:, :1]  # [bq, 1] (all lanes equal)
     l_prev = l_scr[:, :1]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
-    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-
-    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot(
-        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
-    )
-    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    if bounded:
+        # Caller guarantees |s| small enough that exp(s) stays in fp32 range
+        # (DiT qk-layernorm bounds |s| <= ~8): no running max, no rescale —
+        # removes the rowmax reduction and the accumulator-rescale VPU passes.
+        # (A ones-column-on-V MXU rowsum was measured SLOWER than this
+        # jnp.sum — the widened matmul costs more than the reduction saves.)
+        p = jnp.exp2(s)
+        l_new = l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] += jax.lax.dot(
+            p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
+        )
+    else:
+        m_prev = m_scr[:, :1]  # [bq, 1] (all lanes equal)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot(
+            p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
+        )
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
     l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
     @pl.when(kj == nk - 1)
@@ -120,12 +139,17 @@ def _fwd_kernel(
         l = l_scr[:, :1]
         o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
         if with_lse:
-            lse_ref[0] = m_scr[:] + jnp.log(l_scr[:])
+            # bounded: lse = log(sum exp(s)) directly — same value the
+            # backward kernels expect (p = exp(s - lse)).
+            lse_ref[0] = (
+                jnp.log(l_scr[:]) if bounded else m_scr[:] + jnp.log(l_scr[:])
+            )
 
 
 def _flash_fwd(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     scale: float, block_q: int, block_k: int, with_lse: bool = True,
+    bounded: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray | None]:
     """q: [BH, Sq, D]; k, v: [BH, Skv, D] -> (out [BH, Sq, D], lse [BH, Sq]).
 
@@ -144,7 +168,7 @@ def _flash_fwd(
 
     kernel = functools.partial(
         _fwd_kernel, scale=scale, kv_len=kv_len, block_k=block_k,
-        with_lse=with_lse,
+        with_lse=with_lse, bounded=bounded,
     )
     out_specs = [pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0))]
     out_shape = [jax.ShapeDtypeStruct(qp.shape, q.dtype)]
@@ -165,8 +189,10 @@ def _flash_fwd(
         ],
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((block_q, LANES), jnp.float32),
+        scratch_shapes=(
+            # bounded path needs no running-max scratch
+            [] if bounded else [pltpu.VMEM((block_q, LANES), jnp.float32)]
+        ) + [
             pltpu.VMEM((block_q, LANES), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
@@ -358,7 +384,7 @@ def _flash_bwd(
 # Public API: [B, H, S, D] with custom VJP
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -366,30 +392,37 @@ def flash_attention(
     scale: float | None = None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
+    bounded_logits: bool = False,
 ) -> jnp.ndarray:
-    """Non-causal flash attention. q, k, v: [B, H, S, D] -> [B, H, S, D]."""
+    """Non-causal flash attention. q, k, v: [B, H, S, D] -> [B, H, S, D].
+
+    bounded_logits=True skips the online-softmax running max (and the
+    accumulator rescale): exact same math as long as the caller guarantees
+    |scale * q . k| stays well inside fp32 exp range (|logit| <= ~80). The
+    DiT qualifies — its qk-layernorm bounds |logit| <= ~8 per head."""
     B, H, S, D = q.shape
     sc = scale if scale is not None else 1.0 / math.sqrt(D)
     out, _ = _flash_fwd(
         q.reshape(B * H, S, D),
         k.reshape(B * H, k.shape[2], D),
         v.reshape(B * H, v.shape[2], D),
-        sc, block_q, block_k, with_lse=False,
+        sc, block_q, block_k, with_lse=False, bounded=bounded_logits,
     )
     return out.reshape(q.shape)
 
 
-def _fa_fwd(q, k, v, scale, block_q, block_k):
+def _fa_fwd(q, k, v, scale, block_q, block_k, bounded_logits):
     B, H, S, D = q.shape
     sc = scale if scale is not None else 1.0 / math.sqrt(D)
     qf = q.reshape(B * H, S, D)
     kf = k.reshape(B * H, k.shape[2], D)
     vf = v.reshape(B * H, v.shape[2], D)
-    out, lse = _flash_fwd(qf, kf, vf, sc, block_q, block_k)
+    out, lse = _flash_fwd(qf, kf, vf, sc, block_q, block_k,
+                          bounded=bounded_logits)
     return out.reshape(q.shape), (q, k, v, out.reshape(q.shape), lse)
 
 
-def _fa_bwd(scale, block_q, block_k, res, g):
+def _fa_bwd(scale, block_q, block_k, bounded_logits, res, g):
     q, k, v, out, lse = res
     B, H, S, D = q.shape
     sc = scale if scale is not None else 1.0 / math.sqrt(D)

@@ -218,18 +218,29 @@ def main(argv=None):
                 )
             pipe.prompt_embedding = default_prompt_embedding
         t0 = time.time()
-        out = pipe.process_video_file(
-            vpath,
-            upscale=args.upscale,
-            chunk_len=args.chunk_len,
-            tile_size_hw=tuple(args.tile_size_hw),
-            overlap_t=args.overlap_t,
-            overlap_hw=tuple(args.overlap_hw),
-            seed=args.seed,
-            tile_batch=args.tile_batch,
-            mesh=mesh,
-            upscale_mode=args.upscale_mode,
-        )
+        try:
+            out = pipe.process_video_file(
+                vpath,
+                upscale=args.upscale,
+                chunk_len=args.chunk_len,
+                tile_size_hw=tuple(args.tile_size_hw),
+                overlap_t=args.overlap_t,
+                overlap_hw=tuple(args.overlap_hw),
+                seed=args.seed,
+                tile_batch=args.tile_batch,
+                mesh=mesh,
+                upscale_mode=args.upscale_mode,
+            )
+        except Exception as e:  # noqa: BLE001 - re-raised below
+            msg = str(e)
+            if "memory" in msg.lower() and "hbm" in msg.lower():
+                logging.error(
+                    "%s: device out of HBM. The fused path keeps full decoder "
+                    "activations resident; for large clips use --is_vae_st "
+                    "(staged, VAE-tiled — the production 720p path) or add "
+                    "spatial tiling, e.g. --tile_size_hw 256 256.", vpath.name,
+                )
+            raise
         dt = time.time() - t0
         logging.info("%s: %s in %.2fs (%.2f frames/s)",
                      vpath.name, out.shape, dt, out.shape[0] / dt)

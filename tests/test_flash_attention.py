@@ -42,6 +42,32 @@ def test_flash_grads_match_naive():
         )
 
 
+@pytest.mark.parametrize("S", [226, 640])
+def test_flash_bounded_logits_matches_naive(S):
+    """bounded_logits path (no running max, exp2): exact vs oracle as long as
+    logits stay in fp32 exp range — the DiT's qk-layernorm regime."""
+    q, k, v = _rand_qkv(jax.random.PRNGKey(4), 1, 2, S, 64)
+    out = flash_attention(q, k, v, None, 256, 256, True)
+    ref = _naive_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    tangent = jax.random.normal(jax.random.PRNGKey(5), q.shape)
+    g_b = jax.grad(
+        lambda q, k, v: jnp.sum(
+            flash_attention(q, k, v, None, 256, 256, True) * tangent
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    g_n = jax.grad(
+        lambda q, k, v: jnp.sum(_naive_attention(q, k, v) * tangent),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for gb, gn, name in zip(g_b, g_n, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gb), np.asarray(gn), atol=5e-4, err_msg=f"d{name}"
+        )
+
+
 def test_flash_bf16_close():
     q, k, v = _rand_qkv(jax.random.PRNGKey(3), 1, 2, 256, 64, jnp.bfloat16)
     out = flash_attention(q, k, v, None, 128, 128)
