@@ -136,3 +136,13 @@ def test_flagship_param_count():
         + cfg.out_channels * cfg.patch_size_t * cfg.patch_size**2
     )
     assert abs(total + vae_total - 5_787_190_000) / 5_787_190_000 < 0.01
+
+
+def test_flash_backend_matches_xla(setup):
+    """DiT integration with the Pallas flash path (interpret mode on CPU),
+    including the bounded-logits fast path the DiT enables."""
+    cfg, params, latent, text = setup
+    t = jnp.array([399])
+    ref = dit_forward(params, cfg, latent, text, t, attention_backend="xla")
+    out = dit_forward(params, cfg, latent, text, t, attention_backend="flash")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
