@@ -46,7 +46,7 @@ def zeros_tree(shapes):
     return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
 
-def build_pipeline(preset: str, vae_tiling: bool = True):
+def build_pipeline(preset: str, vae_tiling: bool = True, quantize: str | None = None):
     from dove_tpu.config import cogvideox1_5_5b, cogvideox_2b, tiny_test
     from dove_tpu.models.dit import init_dit_params
     from dove_tpu.models.vae import init_vae_params
@@ -68,6 +68,7 @@ def build_pipeline(preset: str, vae_tiling: bool = True):
         prompt_embedding=prompt,
         dtype=dtype,
         vae_tiling=vae_tiling,
+        quantize=quantize,
         output_uint8=vae_tiling,  # measure through to the writable artifact
     )
 
@@ -88,6 +89,8 @@ def main():
     ap.add_argument("--tile_batch", type=int, default=1)
     ap.add_argument("--profile", type=str, default=None,
                     help="write a jax.profiler trace to this directory")
+    ap.add_argument("--quantize", type=str, default=None, choices=["int8"],
+                    help="bench the int8 serving mode")
     args = ap.parse_args()
 
     if args.tiny:
@@ -95,7 +98,9 @@ def main():
         args.frames, args.height, args.width = 9, 32, 32
         args.chunk_len, args.tile = 0, (0, 0)
 
-    pipe = build_pipeline(args.preset, vae_tiling=not args.no_vae_tiling)
+    pipe = build_pipeline(
+        args.preset, vae_tiling=not args.no_vae_tiling, quantize=args.quantize
+    )
 
     rng = np.random.default_rng(0)
     frames = rng.random((args.frames, args.height, args.width, 3), np.float32)
@@ -118,6 +123,7 @@ def main():
         else contextlib.nullcontext()
     )
     times = []
+    stage_splits = []
     with profile_ctx:
         for _ in range(args.repeats):
             t0 = time.time()
@@ -128,9 +134,12 @@ def main():
                 tile_batch=args.tile_batch,
             )
             times.append(time.time() - t0)
+            stage_splits.append(dict(pipe.stage_times))
             if _os.environ.get("DOVE_STAGE_TIMING"):
                 print(f"repeat total: {times[-1]:.2f}s", flush=True)
-    clip_seconds = min(times)
+    best = int(np.argmin(times))
+    clip_seconds = times[best]
+    stage_split = {k: round(v, 2) for k, v in stage_splits[best].items()}
 
     out_frames = out.shape[0]
     fps = out_frames / clip_seconds
@@ -143,9 +152,12 @@ def main():
             "frames_per_second": round(fps, 2),
             "seconds_per_100_frames": round(100.0 / fps, 2),
             "first_pass_with_compile_s": round(compile_and_first, 2),
+            "stage_seconds": stage_split,  # enc/dit/dec split (staged path)
+            "all_repeats_s": [round(t, 2) for t in times],
             "output_shape": list(out.shape),
             "device": str(jax.devices()[0]),
             "preset": args.preset,
+            "quantize": args.quantize,
         },
     }
     print(json.dumps(result))

@@ -102,6 +102,19 @@ class VAEConfig:
         """Spatial downscale factor: 2**(num_blocks-1) == 8."""
         return 2 ** (len(self.block_out_channels) - 1)
 
+    @staticmethod
+    def tile_geometry(lat_tile: int, factor: float) -> tuple[int, int]:
+        """(blend, stride) for the feathered tiler, both in LATENT units.
+
+        Deriving the sampling stride from the placement size (stride =
+        lat_tile - blend) keeps sampled and assembled tile positions exactly
+        aligned. diffusers computes them independently
+        (``int(tile*(1-factor))`` vs ``tile - int(tile*factor)``), which
+        drifts content by the rounding gap per tile row — we fix that rather
+        than reproduce it (documented deviation, see PARITY.md)."""
+        blend = int(lat_tile * factor)
+        return blend, max(lat_tile - blend, 1)
+
     @property
     def temporal_compress_level(self) -> int:
         return int(math.log2(self.temporal_compression_ratio))

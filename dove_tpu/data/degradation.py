@@ -168,9 +168,15 @@ class RandomNoise:
                 if i > 0 and step:
                     scale = _drift(rng, scale, step, *p["poisson_scale"])
                 img = cv2.cvtColor(f, cv2.COLOR_RGB2GRAY)[..., None] if gray else f
-                vals = 10 ** np.ceil(np.log10(len(np.unique(np.round(img * 255)))))
-                noisy = rng.poisson(np.clip(img, 0, 1) * vals) / vals
-                noise = (noisy - img).astype(np.float32) * scale
+                # Reference formula (degradation.py:286-292): work at 0-255
+                # scale with rate = round(img255) * 2**ceil(log2(n_unique)).
+                # Both the base-2 quantization AND the 255-scale rate matter:
+                # a [0,1]-scale rate (BasicSR convention) yields ~16x stronger
+                # noise than what the published DOVE recipe trained on.
+                base = np.clip(np.round(img * 255.0), 0, 255)
+                vals = 2 ** np.ceil(np.log2(len(np.unique(base))))
+                noisy = rng.poisson(base * vals) / vals
+                noise = (noisy - base).astype(np.float32) * scale / 255.0
                 out[i] = f + noise
         return np.clip(out, 0.0, 1.0)
 

@@ -121,6 +121,10 @@ def get_metric(name: str) -> Callable:
         from dove_tpu.eval.dists import dists_metric
 
         return dists_metric()
+    if name == "clipiqa":
+        from dove_tpu.eval.clip import clipiqa_metric
+
+        return clipiqa_metric()
     if name in ("ewarp", "e*warp", "warping_error"):
         import os
 

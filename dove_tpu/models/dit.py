@@ -43,6 +43,10 @@ Params = dict[str, Any]
 # ---------------------------------------------------------------------------
 
 def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    if "kernel_q" in p:  # int8 serving mode (ops/quant.py)
+        from dove_tpu.ops.quant import qlinear
+
+        return qlinear(p, x)
     y = x @ p["kernel"].astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
@@ -131,6 +135,7 @@ def _attention(
     encoder: jnp.ndarray,
     rope: tuple[jnp.ndarray, jnp.ndarray] | None,
     backend: str | None,
+    bounded_logits: bool,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Joint attention over [text | video]; returns (video_out, text_out)."""
     text_len = encoder.shape[1]
@@ -154,9 +159,11 @@ def _attention(
             [k[:, :, :text_len], apply_rotary(k[:, :, text_len:], cos, sin)], axis=2
         )
 
-    # qk-layernorm bounds per-head logits (|s| <= ~8 * max|gamma_q||gamma_k|),
-    # so the flash kernel can skip its online-softmax running max.
-    out = full_attention(q, k, v, backend=backend, bounded_logits=True)
+    # qk-layernorm bounds per-head logits (|s| <= ~8 * max|gamma_q||gamma_k|)
+    # ONLY while the gains stay near their pretrained ~1 magnitude — true at
+    # inference, not guaranteed mid-training where gamma is trainable. The
+    # running-max-free flash variant is therefore inference-opt-in.
+    out = full_attention(q, k, v, backend=backend, bounded_logits=bounded_logits)
     out = out.transpose(0, 2, 1, 3).reshape(B, S, H * D)
     out = _linear(p["to_out"], out)
     return out[:, text_len:], out[:, :text_len]
@@ -176,6 +183,7 @@ def _block(
     temb: jnp.ndarray,
     rope: tuple[jnp.ndarray, jnp.ndarray] | None,
     backend: str | None,
+    bounded_logits: bool,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     eps = cfg.norm_eps
     # adaLN-zero #1 -> attention
@@ -184,7 +192,9 @@ def _block(
     )
     n_hidden = _layer_norm(hidden, eps, p["norm1"]["norm"]) * (1 + scale) + shift
     n_encoder = _layer_norm(encoder, eps, p["norm1"]["norm"]) * (1 + e_scale) + e_shift
-    attn_h, attn_e = _attention(cfg, p["attn1"], n_hidden, n_encoder, rope, backend)
+    attn_h, attn_e = _attention(
+        cfg, p["attn1"], n_hidden, n_encoder, rope, backend, bounded_logits
+    )
     hidden = hidden + gate * attn_h
     encoder = encoder + e_gate * attn_e
 
@@ -214,6 +224,7 @@ def dit_forward(
     *,
     attention_backend: str | None = None,
     remat: bool = False,
+    bounded_logits: bool = False,
 ) -> jnp.ndarray:
     """One DiT pass.
 
@@ -221,6 +232,9 @@ def dit_forward(
       latent: [B, F, C, H, W] noisy latent, F divisible by patch_size_t.
       text_embeds: [B, L_text, text_embed_dim] T5 features (pre-projection).
       timestep: [B] int32 diffusion timesteps.
+      bounded_logits: inference-only fast path — skip the flash kernel's
+        online-softmax running max (safe only with frozen, near-unit
+        qk-layernorm gains; never enable during training).
     Returns:
       velocity prediction, [B, F, C_out, H, W].
     """
@@ -260,12 +274,16 @@ def dit_forward(
     block_fn = _block
     if remat:
         block_fn = jax.checkpoint(
-            _block, policy=jax.checkpoint_policies.nothing_saveable, static_argnums=(0, 6)
+            _block,
+            policy=jax.checkpoint_policies.nothing_saveable,
+            static_argnums=(0, 6, 7),
         )
 
     def scan_body(carry, layer_params):
         h, e = carry
-        h, e = block_fn(cfg, layer_params, h, e, temb, rope, attention_backend)
+        h, e = block_fn(
+            cfg, layer_params, h, e, temb, rope, attention_backend, bounded_logits
+        )
         return (h, e), None
 
     (hidden, encoder), _ = jax.lax.scan(scan_body, (hidden, encoder), params["blocks"])

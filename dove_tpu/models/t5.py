@@ -255,9 +255,23 @@ def init_t5_params(key: jax.Array, cfg: T5Config, dtype=jnp.float32) -> Params:
 
 class PromptEncoder:
     """Tokenizer + T5 encoder producing CogVideoX-style prompt embeddings
-    (fixed length, zero-padded; matches the cached empty-prompt file)."""
+    (fixed length; matches the cached empty-prompt file).
 
-    def __init__(self, model_dir: str | Path, max_length: int = 226, dtype=jnp.bfloat16):
+    CogVideoX parity: the reference encodes prompts with input_ids ONLY — no
+    attention mask is passed to the T5 encoder (lora_one_s1_trainer.py:83,
+    inference_script.py:440), so pad positions get nonzero embeddings and pad
+    tokens attend freely. The DiT later attends to the full fixed 226-token
+    sequence unmasked, so those pad embeddings are load-bearing. Default here
+    reproduces that; ``use_attention_mask=True`` is the opt-in masked variant.
+    """
+
+    def __init__(
+        self,
+        model_dir: str | Path,
+        max_length: int = 226,
+        dtype=jnp.bfloat16,
+        use_attention_mask: bool = False,
+    ):
         from transformers import AutoTokenizer
 
         model_dir = Path(model_dir)
@@ -265,6 +279,7 @@ class PromptEncoder:
         self.tokenizer = AutoTokenizer.from_pretrained(str(tok_dir))
         self.params, self.cfg = load_t5(model_dir, dtype=dtype)
         self.max_length = max_length
+        self.use_attention_mask = use_attention_mask
         self._encode = jax.jit(
             lambda ids, mask: t5_encode(self.params, self.cfg, ids, mask)
         )
@@ -278,8 +293,8 @@ class PromptEncoder:
             add_special_tokens=True,
             return_tensors="np",
         )
-        out = self._encode(
-            jnp.asarray(enc["input_ids"], jnp.int32),
-            jnp.asarray(enc["attention_mask"], jnp.int32),
-        )
+        mask = None
+        if self.use_attention_mask:
+            mask = jnp.asarray(enc["attention_mask"], jnp.int32)
+        out = self._encode(jnp.asarray(enc["input_ids"], jnp.int32), mask)
         return np.asarray(out[0], np.float32)

@@ -46,6 +46,10 @@ Cache = dict[str, jnp.ndarray]
 
 def _conv3d(p: Params, x: jnp.ndarray, strides=(1, 1, 1), padding="VALID") -> jnp.ndarray:
     """x: [B, F, H, W, C]; kernel: [kD, kH, kW, Cin, Cout]."""
+    if "kernel_q" in p:  # int8 serving mode (ops/quant.py)
+        from dove_tpu.ops.quant import qconv
+
+        return qconv(p, x, strides, padding, ("NDHWC", "DHWIO", "NDHWC"))
     y = jax.lax.conv_general_dilated(
         x,
         p["kernel"].astype(x.dtype),
@@ -61,6 +65,14 @@ def _conv3d(p: Params, x: jnp.ndarray, strides=(1, 1, 1), padding="VALID") -> jn
 def _conv2d(p: Params, x: jnp.ndarray, strides=(1, 1), padding="VALID") -> jnp.ndarray:
     """Per-frame 2D conv: x [B, F, H, W, C], kernel [kH, kW, Cin, Cout]."""
     B, F = x.shape[:2]
+    if "kernel_q" in p:  # int8 serving mode (ops/quant.py)
+        from dove_tpu.ops.quant import qconv
+
+        y = qconv(
+            p, x.reshape((B * F,) + x.shape[2:]), strides, padding,
+            ("NHWC", "HWIO", "NHWC"),
+        )
+        return y.reshape((B, F) + y.shape[1:])
     y = jax.lax.conv_general_dilated(
         x.reshape((B * F,) + x.shape[2:]),
         p["kernel"].astype(x.dtype),
@@ -87,7 +99,9 @@ def causal_conv3d(
     Returns (output, new_cache) where new_cache holds the trailing k_t-1
     input frames for the next chunk.
     """
-    kt, kh, kw = p["kernel"].shape[:3]
+    quantized = "kernel_q" in p
+    kernel_leaf = p["kernel_q"] if quantized else p["kernel"]
+    kt, kh, kw = kernel_leaf.shape[:3]
     if kt > 1:
         if cache is None:
             left = jnp.repeat(x[:, :1], kt - 1, axis=1)
@@ -102,29 +116,53 @@ def causal_conv3d(
     F = Ft - (kt - 1)
     pad_h, pad_w = (kh - 1) // 2, (kw - 1) // 2
     pad = ((pad_h, pad_h), (pad_w, pad_w))
+    # The tap-stacked lowering materializes a k_t*C-channel activation copy
+    # (3x the input). For full-spatial chunks (int8 serving mode) that copy
+    # alone is several GB, so above a size threshold fall back to k_t
+    # separate 2D convs accumulated — measured perf-neutral, 3x less live
+    # activation memory.
+    stack_taps = kt == 1 or (B * F * H * W * C * kt) <= (1 << 28)
+
+    def run_conv(xs, kernel):
+        if quantized:
+            from dove_tpu.ops.quant import dynamic_quant
+
+            xs_q, s_x = dynamic_quant(xs)
+            acc = jax.lax.conv_general_dilated(
+                xs_q, kernel, (1, 1), pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            return acc.astype(jnp.float32) * (s_x * p["kernel_scale"])
+        return jax.lax.conv_general_dilated(
+            xs, kernel.astype(x.dtype), (1, 1), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
     if kt == 1:
-        xs = x.reshape(B * F, H, W, C)
-        kernel = p["kernel"][0].astype(x.dtype)
-    else:
+        y = run_conv(x.reshape(B * F, H, W, C), kernel_leaf[0])
+    elif stack_taps:
         # Stack the k_t temporal taps along input channels: one conv with a
         # k_t*C contraction instead of k_t separate convs — fewer kernel
         # launches and a wider MXU contraction. Exactly equivalent.
         xs = jnp.concatenate(
             [x[:, dt : dt + F] for dt in range(kt)], axis=-1
         ).reshape(B * F, H, W, kt * C)
-        kernel = (
-            p["kernel"].astype(x.dtype)
-            .transpose(1, 2, 0, 3, 4)
-            .reshape(kh, kw, kt * C, -1)
+        y = run_conv(
+            xs, kernel_leaf.transpose(1, 2, 0, 3, 4).reshape(kh, kw, kt * C, -1)
         )
-    y = jax.lax.conv_general_dilated(
-        xs, kernel, (1, 1), pad,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+    else:
+        y = sum(
+            run_conv(
+                jax.lax.slice_in_dim(x, dt, dt + F, axis=1).reshape(B * F, H, W, C),
+                kernel_leaf[dt],
+            )
+            for dt in range(kt)
+        )
     y = y.reshape(B, F, H, W, -1)
     if "bias" in p:
-        y = y + p["bias"].astype(x.dtype)
-    return y, new_cache
+        y = y + p["bias"].astype(y.dtype)
+    return y.astype(x.dtype), new_cache
 
 
 def _group_norm(p: Params, x: jnp.ndarray, groups: int, eps: float) -> jnp.ndarray:
@@ -418,10 +456,12 @@ def tiled_encode_moments(
     if H <= tile_h and W <= tile_w:
         return encode_fn(video)
     lat_h, lat_w = tile_h // s, tile_w // s
-    overlap_h = int(tile_h * (1 - cfg.tile_overlap_factor_height))
-    overlap_w = int(tile_w * (1 - cfg.tile_overlap_factor_width))
-    blend_h = int(lat_h * cfg.tile_overlap_factor_height)
-    blend_w = int(lat_w * cfg.tile_overlap_factor_width)
+    # Sampling stride derived FROM the placement size (latent units * s) so
+    # sampled and assembled tile positions align exactly (see
+    # VAEConfig.tile_geometry).
+    blend_h, stride_h = cfg.tile_geometry(lat_h, cfg.tile_overlap_factor_height)
+    blend_w, stride_w = cfg.tile_geometry(lat_w, cfg.tile_overlap_factor_width)
+    overlap_h, overlap_w = stride_h * s, stride_w * s
     row_limit_h = lat_h - blend_h
     row_limit_w = lat_w - blend_w
 
@@ -462,10 +502,11 @@ def tiled_decode(
     tile_h, tile_w = lat_h * s, lat_w * s
     if h <= lat_h and w <= lat_w:
         return decode_fn(latent)
-    overlap_h = int(lat_h * (1 - cfg.tile_overlap_factor_height))
-    overlap_w = int(lat_w * (1 - cfg.tile_overlap_factor_width))
-    blend_h = int(tile_h * cfg.tile_overlap_factor_height)
-    blend_w = int(tile_w * cfg.tile_overlap_factor_width)
+    # Aligned sampling/placement geometry (see VAEConfig.tile_geometry):
+    # latent sampling stride = lat_tile - blend_lat, pixel blend = blend_lat*s.
+    blend_lat_h, overlap_h = cfg.tile_geometry(lat_h, cfg.tile_overlap_factor_height)
+    blend_lat_w, overlap_w = cfg.tile_geometry(lat_w, cfg.tile_overlap_factor_width)
+    blend_h, blend_w = blend_lat_h * s, blend_lat_w * s
     row_limit_h = tile_h - blend_h
     row_limit_w = tile_w - blend_w
 
@@ -510,10 +551,10 @@ def tiled_encode_moments_host(
     if H <= tile_h and W <= tile_w:
         return np.asarray(encode_fn(0, H, 0, W), np.float32)
     lat_h, lat_w = tile_h // s, tile_w // s
-    overlap_h = max(int(tile_h * (1 - cfg.tile_overlap_factor_height)), 1)
-    overlap_w = max(int(tile_w * (1 - cfg.tile_overlap_factor_width)), 1)
-    blend_h = int(lat_h * cfg.tile_overlap_factor_height)
-    blend_w = int(lat_w * cfg.tile_overlap_factor_width)
+    # Aligned sampling/placement geometry (see VAEConfig.tile_geometry).
+    blend_h, stride_h = cfg.tile_geometry(lat_h, cfg.tile_overlap_factor_height)
+    blend_w, stride_w = cfg.tile_geometry(lat_w, cfg.tile_overlap_factor_width)
+    overlap_h, overlap_w = stride_h * s, stride_w * s
     row_limit_h = lat_h - blend_h
     row_limit_w = lat_w - blend_w
 
@@ -579,10 +620,10 @@ def tiled_decode_host(
     tile_h, tile_w = lat_h * s, lat_w * s
     if h <= lat_h and w <= lat_w:
         return np.asarray(decode_fn(0, h, 0, w), np.float32)
-    overlap_h = max(int(lat_h * (1 - cfg.tile_overlap_factor_height)), 1)
-    overlap_w = max(int(lat_w * (1 - cfg.tile_overlap_factor_width)), 1)
-    blend_h = int(tile_h * cfg.tile_overlap_factor_height)
-    blend_w = int(tile_w * cfg.tile_overlap_factor_width)
+    # Aligned sampling/placement geometry (see VAEConfig.tile_geometry).
+    blend_lat_h, overlap_h = cfg.tile_geometry(lat_h, cfg.tile_overlap_factor_height)
+    blend_lat_w, overlap_w = cfg.tile_geometry(lat_w, cfg.tile_overlap_factor_width)
+    blend_h, blend_w = blend_lat_h * s, blend_lat_w * s
     row_limit_h = tile_h - blend_h
     row_limit_w = tile_w - blend_w
 

@@ -52,14 +52,23 @@ def fsdp_spec(leaf: jax.Array | Any, axis: str, axis_size: int) -> P:
     shape = getattr(leaf, "shape", ())
     if not shape:
         return P()
-    # prefer the largest dim (excluding tiny dims); break ties to the last dim
-    candidates = [
-        (size, idx)
-        for idx, size in enumerate(shape)
-        if size % axis_size == 0 and size >= axis_size and size > 1
-    ]
+
+    def divisible(idx_range):
+        return [
+            (shape[idx], idx)
+            for idx in idx_range
+            if shape[idx] % axis_size == 0 and shape[idx] >= axis_size
+            and shape[idx] > 1
+        ]
+
+    # Skip the leading (layer-stack) dim whenever any later dim can shard:
+    # scanned per-layer params must keep all layers local to the scan body.
+    # Only a leaf with NO other shardable dim may shard dim 0 (then it is a
+    # plain 1D/loner param, not a stack).
+    candidates = divisible(range(1, len(shape))) or divisible(range(0, 1))
     if not candidates:
         return P()
+    # prefer the largest dim; break ties to the last dim
     _, best = max(candidates, key=lambda t: (t[0], t[1]))
     spec: list[str | None] = [None] * len(shape)
     spec[best] = axis

@@ -49,11 +49,29 @@ class DovePipeline:
     donate_input: bool = True
     vae_tiling: bool = False  # --is_vae_st: internal VAE tiling, no outer tiles
     output_uint8: bool = False  # staged path: skip the uint8->f32 roundtrip
+    # int8 serving mode: per-channel int8 weights + dynamic per-tensor int8
+    # activations on the MXU (ops/quant.py). Besides the ~1.3-1.5x MXU rate,
+    # halving the resident DiT (10.4 -> 5.2 GB on the 5B) frees enough HBM
+    # for the staged path to drop spatial VAE tiling entirely: full-spatial
+    # temporal-chunked encode/decode -> zero feather-overlap recompute and
+    # zero seams. Opt-in; the bf16 path remains the bit-parity reference.
+    quantize: str | None = None
 
     def __post_init__(self):
         self.schedule = Schedule.create(self.config.scheduler)
         self._compiled: dict[tuple, Callable] = {}
         self._staged: dict[str, Callable] = {}
+        if self.quantize == "int8":
+            from dove_tpu.ops.quant import quantize_dit, quantize_vae
+
+            self.dit_params = quantize_dit(self.dit_params)
+            self.vae_params = quantize_vae(self.vae_params)
+        elif self.quantize:
+            raise ValueError(f"unknown quantize mode: {self.quantize}")
+        # Per-clip stage wall times (staged path), accumulated across chunks;
+        # reset at each process_frames call. The inter-stage barriers make
+        # these accurate at zero extra cost.
+        self.stage_times: dict[str, float] = {}
 
     # ------------------------------------------------------------------
     # Device-side one-step SR for a single tile
@@ -104,6 +122,7 @@ class DovePipeline:
             v_pred = dit_forward(
                 dit_params, cfg.dit, z, text, t_sr,
                 attention_backend=self.attention_backend,
+                bounded_logits=True,  # frozen qk-layernorm gains at inference
             )
             x0 = self.schedule.velocity_to_x0(v_pred, z, t_sr)
 
@@ -136,8 +155,10 @@ class DovePipeline:
         np.asarray(jax.device_get(x[(0,) * x.ndim]))
 
     @staticmethod
-    def _grid(size: int, tile: int, factor: float) -> list[int]:
-        stride = max(int(tile * (1 - factor)), 1)
+    def _grid(size: int, tile: int, stride: int) -> list[int]:
+        """Tile start positions; `stride` must equal the assembly placement
+        stride (tile - blend, same units) so sampled and assembled positions
+        align exactly (VAEConfig.tile_geometry)."""
         return list(range(0, size, stride)) if size > tile else [0]
 
     @staticmethod
@@ -193,6 +214,20 @@ class DovePipeline:
         fw = cfg.vae.tile_overlap_factor_width
         s = cfg.vae.spatial_scale
 
+        # Full-spatial mode (int8 serving): with the DiT halved to ~5.2 GB
+        # resident, per-chunk full-frame VAE activations fit next to it, so
+        # encode/decode run WITHOUT spatial windows — no feather-overlap
+        # recompute (the windowed path redoes ~19% of the conv FLOPs at the
+        # preset factors) and exact, seam-free outputs. Temporal chunking
+        # bounds the activation: small frame batches thread the causal cache.
+        full_spatial = self.quantize is not None
+        # Chunk sizes keep the causal convention intact: the FIRST chunk
+        # carries the odd frame, continuations are even — the temporal
+        # up/downsamplers branch on that parity, so a chunk size of 1 would
+        # make every continuation look like a clip start.
+        ENC_CHUNK_FRAMES = 8  # pixel frames per encoder pass
+        DEC_CHUNK_FRAMES = 2  # latent frames per decoder pass (8 px frames)
+
         def enc_all(params, lq):
             """Upscale + window + encode + feather-assemble, ONE program.
 
@@ -204,11 +239,17 @@ class DovePipeline:
             up = jax.image.resize(
                 lq.astype(jnp.float32), (B, F, Hu, Wu, 3), "bilinear"
             ).astype(lq.dtype)
+            if full_spatial:
+                return vae_mod.encode_moments(
+                    cfg.vae, params, up, chunk_frames=ENC_CHUNK_FRAMES
+                )
             th, tw = cfg.vae.tile_sample_min_height, cfg.vae.tile_sample_min_width
             if Hu <= th and Wu <= tw:
                 return vae_mod.encode_moments(cfg.vae, params, up)
-            rows_i = self._grid(Hu, th, fh)
-            cols_j = self._grid(Wu, tw, fw)
+            blend_h, stride_h = cfg.vae.tile_geometry(th // s, fh)
+            blend_w, stride_w = cfg.vae.tile_geometry(tw // s, fw)
+            rows_i = self._grid(Hu, th, stride_h * s)
+            cols_j = self._grid(Wu, tw, stride_w * s)
             ph = max(rows_i[-1] + th - Hu, 0)
             pw = max(cols_j[-1] + tw - Wu, 0)
             up = jnp.pad(up, ((0, 0), (0, 0), (0, ph), (0, pw), (0, 0)),
@@ -226,7 +267,7 @@ class DovePipeline:
             tiles = jax.lax.map(one, coords)
             moments = self._feather_assemble(
                 tiles, len(rows_i), len(cols_j),
-                int((th // s) * fh), int((tw // s) * fw),
+                blend_h, blend_w,
                 Hu // s, Wu // s,
             )
             return moments[None]
@@ -238,11 +279,17 @@ class DovePipeline:
             B, Fl, zh, zw, C = z.shape
             lh = cfg.vae.decode_tile_latent_height or cfg.vae.tile_sample_min_height // s
             lw = cfg.vae.decode_tile_latent_width or cfg.vae.tile_sample_min_width // s
-            if zh <= lh and zw <= lw:
+            if full_spatial:
+                pixels = vae_mod.decode(
+                    cfg.vae, params, z, chunk_frames=DEC_CHUNK_FRAMES
+                )[0]
+            elif zh <= lh and zw <= lw:
                 pixels = vae_mod.decode(cfg.vae, params, z)[0]
             else:
-                rows_i = self._grid(zh, lh, fh)
-                cols_j = self._grid(zw, lw, fw)
+                blend_h, stride_h = cfg.vae.tile_geometry(lh, fh)
+                blend_w, stride_w = cfg.vae.tile_geometry(lw, fw)
+                rows_i = self._grid(zh, lh, stride_h)
+                cols_j = self._grid(zw, lw, stride_w)
                 pzh = max(rows_i[-1] + lh - zh, 0)
                 pzw = max(cols_j[-1] + lw - zw, 0)
                 zp = jnp.pad(z, ((0, 0), (0, 0), (0, pzh), (0, pzw), (0, 0)),
@@ -260,7 +307,7 @@ class DovePipeline:
                 del coords
                 pixels = self._feather_assemble(
                     tiles, len(rows_i), len(cols_j),
-                    int(lh * s * fh), int(lw * s * fw),
+                    blend_h * s, blend_w * s,
                     zh * s, zw * s,
                 )
             out01 = jnp.clip(pixels.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
@@ -280,6 +327,7 @@ class DovePipeline:
             x0 = one_step_x0_latent(
                 cfg, self.schedule, dit_params, latent, text,
                 noise_rng, remat=False, attention_backend=self.attention_backend,
+                bounded_logits=True,  # frozen qk-layernorm gains at inference
             )
             return x0 / jnp.asarray(cfg.vae.scaling_factor, x0.dtype)
 
@@ -312,6 +360,7 @@ class DovePipeline:
         # not overlap the encode program's still-live temps.
         self._barrier(moments)
         t1 = time.time()
+        self.stage_times["enc"] = self.stage_times.get("enc", 0.0) + (t1 - t0)
         if timing:
             print(f"stage enc: {t1 - t0:.2f}s", flush=True)
 
@@ -320,12 +369,15 @@ class DovePipeline:
         )
         self._barrier(z)
         t2 = time.time()
+        self.stage_times["dit"] = self.stage_times.get("dit", 0.0) + (t2 - t1)
         if timing:
             print(f"stage dit: {t2 - t1:.2f}s", flush=True)
 
         out_u8 = np.asarray(fns["dec_all"](self.vae_params, z))
+        t3 = time.time()
+        self.stage_times["dec"] = self.stage_times.get("dec", 0.0) + (t3 - t2)
         if timing:
-            print(f"stage dec: {time.time() - t2:.2f}s", flush=True)
+            print(f"stage dec: {t3 - t2:.2f}s", flush=True)
         if self.output_uint8:
             return out_u8  # writers accept uint8 directly
         return out_u8.astype(np.float32) / 255.0
@@ -380,6 +432,7 @@ class DovePipeline:
             import os as _os
 
             _timing = bool(_os.environ.get("DOVE_STAGE_TIMING"))
+            self.stage_times = {}
             _t_pre = time.time()
             lq = padded * 2.0 - 1.0  # [-1, 1] at LQ resolution
             F, Hl, Wl, _ = lq.shape

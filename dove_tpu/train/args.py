@@ -53,7 +53,10 @@ class Args(BaseModel):
     batch_size: int = 1
     gradient_accumulation_steps: int = 1
     train_resolution: Tuple[int, int, int] = (25, 320, 640)  # (F, H, W)
-    crop_mode: str = "random_crop"
+    # The reference accepts crop_mode but implements only random_crop
+    # (real_sr_dataset.py:246-273 raises NotImplementedError otherwise);
+    # we validate it up front instead of failing mid-epoch.
+    crop_mode: Literal["random_crop"] = "random_crop"
     mixed_precision: Literal["no", "fp16", "bf16"] = "bf16"
 
     learning_rate: float = 2e-5
@@ -108,6 +111,9 @@ class Args(BaseModel):
 
     ########## Stage-2 losses ##########
     use_perceptual_loss: bool = False
+    # Explicit opt-in to train the perceptual term on RANDOM VGG features
+    # when no pretrained DISTS/LPIPS weights are available (otherwise error).
+    allow_random_perceptual: bool = False
     ea_dists_weight: float = 0.0
     dists_weight: float = 0.0
     ea_lpips_weight: float = 0.0

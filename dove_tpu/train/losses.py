@@ -32,6 +32,7 @@ def one_step_x0_latent(
     rng: jax.Array | None,
     remat: bool = True,
     attention_backend: str | None = None,
+    bounded_logits: bool = False,
 ) -> jnp.ndarray:
     """Shared one-step denoise core: returns x-hat_0 in [B, F', h, w, C]
     (patch_size_t padding applied and stripped internally)."""
@@ -55,6 +56,7 @@ def one_step_x0_latent(
     v_pred = dit_forward(
         dit_params, cfg.dit, z, text_embeds, t_sr,
         remat=remat, attention_backend=attention_backend,
+        bounded_logits=bounded_logits,
     )
     x0 = schedule.velocity_to_x0(v_pred, z, t_sr)
     if ncopy:
@@ -157,10 +159,10 @@ def make_perceptual_fn(
         raise ValueError(f"unknown perceptual kind: {kind}")
 
     def perceptual(pred: jnp.ndarray, hq: jnp.ndarray) -> jnp.ndarray:
-        """pred, hq: [B, F, H, W, 3] fp32 in [-1, 1] -> scalar."""
+        """pred, hq: [B, F, H, W, 3] fp32 already mapped to [0, 1] -> scalar."""
         B, F = pred.shape[:2]
-        x = (pred.reshape((B * F,) + pred.shape[2:]) + 1.0) * 0.5
-        y = (hq.reshape((B * F,) + hq.shape[2:]) + 1.0) * 0.5
+        x = pred.reshape((B * F,) + pred.shape[2:])
+        y = hq.reshape((B * F,) + hq.shape[2:])
         loss = frame_d(x, y)
         if edge_aware:
             loss = (loss + frame_d(sobel_edges(x), sobel_edges(y))) * 0.5
@@ -203,8 +205,12 @@ def stage2_loss(
     pred = pred.reshape((B, Fl) + pred.shape[2:])  # [B, F, H, W, 3], [-1,1]
     hq = batch["hq_video"].astype(pred.dtype)
 
-    pf = pred.astype(jnp.float32)
-    hf = hq.astype(jnp.float32)
+    # Reference computes ALL loss terms in [0, 1] after clamp
+    # (lora_one_s2_trainer.py:147,228-235: (x/2+0.5).clamp(0,1) on both pred
+    # and GT). This fixes both the pixel/frame-diff term scale relative to the
+    # perceptual term and the gradient of out-of-range pixels.
+    pf = jnp.clip(pred.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
+    hf = jnp.clip(hq.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
 
     loss_pixel = jnp.mean((pf - hf) ** 2)
     aux = {"loss_pixel": loss_pixel}

@@ -18,6 +18,8 @@ def make_lr_schedule(
     warmup_steps: int = 0,
     total_steps: int | None = None,
     kind: str = "constant_with_warmup",
+    num_cycles: int = 1,
+    power: float = 1.0,
 ) -> optax.Schedule:
     if kind in ("constant", "constant_with_warmup"):
         if warmup_steps <= 0:
@@ -41,6 +43,35 @@ def make_lr_schedule(
             raise ValueError("cosine schedule needs total_steps")
         return optax.warmup_cosine_decay_schedule(
             0.0, lr, max(warmup_steps, 1), total_steps
+        )
+    if kind == "cosine_with_restarts":
+        # transformers get_scheduler semantics: num_cycles hard restarts
+        # after warmup (reference trainer.py:413 passes lr_num_cycles).
+        if total_steps is None:
+            raise ValueError("cosine_with_restarts needs total_steps")
+        decay = max(total_steps - warmup_steps, 1)
+        per = max(decay // max(num_cycles, 1), 1)
+        cosines = [
+            optax.cosine_decay_schedule(lr, per) for _ in range(max(num_cycles, 1))
+        ]
+        bounds = [warmup_steps + per * (i + 1) for i in range(len(cosines) - 1)]
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, lr, max(warmup_steps, 1))] + cosines,
+            [warmup_steps] + bounds,
+        )
+    if kind == "polynomial":
+        # transformers polynomial decay: lr * (1 - t/T)**power after warmup
+        # (reference trainer.py:414 passes lr_power).
+        if total_steps is None:
+            raise ValueError("polynomial schedule needs total_steps")
+        return optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, lr, max(warmup_steps, 1)),
+                optax.polynomial_schedule(
+                    lr, 0.0, power, max(total_steps - warmup_steps, 1)
+                ),
+            ],
+            [warmup_steps],
         )
     raise ValueError(f"unknown lr schedule: {kind}")
 

@@ -114,6 +114,7 @@ class Trainer:
         self.mesh = mesh_mod.make_mesh(data=data_axis, model=args.fsdp)
         self.global_step = 0
         self._log_file = None
+        self._tb = None  # tensorboard SummaryWriter when report_to asks for it
         self.perceptual_fn: Callable | None = None
 
     # ------------------------------------------------------------------
@@ -189,7 +190,9 @@ class Trainer:
             degradation_config=args.degradation_config,
             caption_manifest=args.caption_column,
             empty_ratio=args.empty_ratio,
-            cache_prompts=args.is_cache,
+            # is_prompt_latent (reference trainer.py:279) forces the prompt-
+            # embedding precompute/cache pass even when is_cache is off.
+            cache_prompts=args.is_cache or args.is_prompt_latent,
             prompt_cache=args.prompt_cache,
             seed=args.seed or 0,
         )
@@ -237,6 +240,8 @@ class Trainer:
             warmup_steps=args.lr_warmup_steps,
             total_steps=total_steps,
             kind=args.lr_scheduler,
+            num_cycles=args.lr_num_cycles,
+            power=args.lr_power,
         )
         self.optimizer = make_optimizer(
             args.optimizer, lr,
@@ -257,15 +262,28 @@ class Trainer:
 
     # -- loss core (stage-specific) --
 
-    def effective_dit_params(self, trainable):
+    def frozen_params(self) -> dict[str, Any]:
+        """Non-trainable model params passed to the jitted step as EXPLICIT
+        (non-donated) arguments — never closure constants, so the 5B-scale
+        VAE/base-DiT trees don't get baked into the compiled program (compile
+        memory) and keep their mesh shardings under jit."""
+        frozen = {"vae": self.vae_params}
         if self.args.training_type == "lora":
-            return apply_lora(self.dit_params, trainable, self.lora_scale)
+            frozen["dit_base"] = self.dit_params
+        return frozen
+
+    def effective_dit_params(self, trainable, frozen: dict[str, Any] | None = None):
+        if self.args.training_type == "lora":
+            base = frozen["dit_base"] if frozen else self.dit_params
+            return apply_lora(base, trainable, self.lora_scale)
         return trainable
 
-    def compute_loss(self, trainable, batch, rng):
+    def compute_loss(self, trainable, frozen, batch, rng):
         raise NotImplementedError
 
-    def _encode(self, video: jnp.ndarray, rng, per_frame: bool = False) -> jnp.ndarray:
+    def _encode(
+        self, vae_params, video: jnp.ndarray, rng, per_frame: bool = False
+    ) -> jnp.ndarray:
         """Pixel [B, F, H, W, 3] -> scaled latent [B, F', h, w, C] (no grad).
 
         per_frame treats each frame as an independent 1-frame clip (stage 2:
@@ -275,7 +293,7 @@ class Trainer:
         if per_frame:
             B, F = video.shape[:2]
             video = video.reshape((B * F, 1) + video.shape[2:])
-        moments = vae_mod.encode_moments(self.config.vae, self.vae_params, video)
+        moments = vae_mod.encode_moments(self.config.vae, vae_params, video)
         lat = vae_mod.sample_latent(moments, rng, self.config.vae.scaling_factor)
         if per_frame:
             lat = lat.reshape((B, F) + lat.shape[2:])
@@ -283,17 +301,15 @@ class Trainer:
 
     def _encode_np(self, frames: np.ndarray) -> np.ndarray:
         """Host helper for the latent precompute pass: [F,H,W,3] -> latent."""
-        lat = self._encode(jnp.asarray(frames[None]), None)
+        lat = self._encode(self.vae_params, jnp.asarray(frames[None]), None)
         return np.asarray(lat[0], np.float32)
 
     def build_train_step(self):
         optimizer = self.optimizer
 
-        def train_step(trainable, opt_state, base_state, batch, rng):
-            del base_state  # reserved static slot; immutables close over self
-
+        def train_step(trainable, opt_state, frozen, batch, rng):
             def loss_fn(p):
-                return self.compute_loss(p, batch, rng)
+                return self.compute_loss(p, frozen, batch, rng)
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 trainable
@@ -305,7 +321,7 @@ class Trainer:
             gnorm = optax.global_norm(grads)
             return trainable, opt_state, loss, aux, gnorm
 
-        return jax.jit(train_step, static_argnums=(2,), donate_argnums=(0, 1))
+        return jax.jit(train_step, donate_argnums=(0, 1))
 
     # ------------------------------------------------------------------
     # Batch -> device
@@ -340,6 +356,16 @@ class Trainer:
         args.output_dir.mkdir(parents=True, exist_ok=True)
         args.dump_yaml(args.output_dir / "args.yaml")
         self._log_file = open(args.output_dir / "train_log.jsonl", "a")
+        if args.report_to in ("tensorboard", "all"):
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(
+                    log_dir=str(args.output_dir / "tb" / args.tracker_name)
+                )
+            except Exception as e:  # tensorboard backend not installed
+                logger.warning("tensorboard writer unavailable (%s); "
+                               "falling back to jsonl only", e)
 
         self.load_components()
         self.prepare_dataset()
@@ -397,26 +423,28 @@ class Trainer:
             except ValueError:  # non-main thread
                 pass
 
+        frozen = self.frozen_params()
         with self.mesh:
             while self.global_step < total_steps and not stop_requested["flag"]:
                 self.loader.set_epoch(epoch)
                 for batch in self.loader:
                     if self.global_step >= total_steps or stop_requested["flag"]:
                         break
-                    rng, step_rng = jax.random.split(rng)
+                    # fold_in by step (not sequential splits): a resumed run
+                    # at step N reproduces the original run's noise stream.
+                    step_rng = jax.random.fold_in(rng, self.global_step)
                     dev_batch = self._device_batch(batch)
                     trainable, self.opt_state, loss, aux, gnorm = step_fn(
-                        self.trainable_params(), self.opt_state, None,
+                        self.trainable_params(), self.opt_state, frozen,
                         dev_batch, step_rng,
                     )
                     self._set_trainable(trainable)
                     self.global_step += 1
 
-                    if (
-                        self.global_step % 10 == 0
-                        or self.global_step == total_steps
-                    ):
-                        self.log_step(loss, aux, gnorm, t_start)
+                    # per-step logging, like the reference's accelerator.log
+                    # (trainer.py:592-624); JSONL cost is negligible next to
+                    # a train step.
+                    self.log_step(loss, aux, gnorm, t_start)
                     if args.stastic_frequency and (
                         self.global_step % args.stastic_frequency == 0
                     ):
@@ -436,6 +464,8 @@ class Trainer:
         self.save(self.global_step)
         if self._log_file:
             self._log_file.close()
+        if self._tb is not None:
+            self._tb.close()
 
     # ------------------------------------------------------------------
     # Logging / checkpoint / validation
@@ -453,6 +483,10 @@ class Trainer:
         if self._log_file:
             self._log_file.write(json.dumps(rec) + "\n")
             self._log_file.flush()
+        if self._tb is not None:
+            for k, v in rec.items():
+                if isinstance(v, (int, float)) and k != "step":
+                    self._tb.add_scalar(f"train/{k}", v, self.global_step)
 
     def log_memory(self) -> None:
         try:
@@ -496,13 +530,30 @@ class Trainer:
             )
 
     def validate(self, step: int) -> dict[str, float]:
-        """One-step SR on held-out clips + metrics (reference trainer.py:642-871)."""
+        """One-step SR on held-out clips + metrics (reference trainer.py:642-871).
+
+        Honors ``eval_metric_list`` (psnr/ssim natively; lpips/dists when the
+        pretrained feature weights are available, like the reference's pyiqa
+        nets). Clips round-robin over hosts (the reference round-robins ranks,
+        trainer.py:683-686); each host writes its own artifacts.
+        """
         args = self.args
         if not args.validation_dir:
             return {}
-        from dove_tpu.eval.metrics import psnr, ssim
+        from dove_tpu.eval.metrics import get_metric
         from dove_tpu.io import video as video_io
         from dove_tpu.pipeline import DovePipeline
+
+        metric_names = [
+            m.strip() for m in (args.eval_metric_list or "psnr,ssim").split(",")
+            if m.strip()
+        ]
+        metric_fns = {}
+        for name in metric_names:
+            try:
+                metric_fns[name] = get_metric(name)
+            except Exception as e:  # weights-gated metric unavailable
+                logger.warning("validation metric %s unavailable: %s", name, e)
 
         pipe = DovePipeline(
             config=self.config,
@@ -518,11 +569,14 @@ class Trainer:
 
         lq_dir = Path(args.validation_dir)
         ref_dir = Path(args.validation_ref_videos) if args.validation_ref_videos else None
-        results: dict[str, list[float]] = {"psnr": [], "ssim": []}
+        results: dict[str, list[float]] = {k: [] for k in metric_fns}
         clips = sorted(
             p for p in lq_dir.iterdir()
             if p.suffix.lower() in video_io.VIDEO_EXTS or p.is_dir()
         )
+        # Round-robin clips across hosts (multi-host data-parallel analog of
+        # the reference's per-rank round-robin).
+        clips = clips[jax.process_index()::jax.process_count()]
         for clip in clips:
             frames = video_io.load_sequence(clip)
             sr = pipe.process_frames(frames)
@@ -534,8 +588,10 @@ class Trainer:
                     n = min(len(ref), len(sr))
                     h = min(ref.shape[1], sr.shape[1])
                     w = min(ref.shape[2], sr.shape[2])
-                    results["psnr"].append(psnr(sr[:n, :h, :w], ref[:n, :h, :w]))
-                    results["ssim"].append(ssim(sr[:n, :h, :w], ref[:n, :h, :w]))
+                    for name, fn in metric_fns.items():
+                        results[name].append(
+                            float(fn(sr[:n, :h, :w], ref[:n, :h, :w]))
+                        )
         summary = {
             k: float(np.mean(v)) for k, v in results.items() if v
         }
@@ -544,6 +600,9 @@ class Trainer:
         if self._log_file:
             self._log_file.write(json.dumps(rec) + "\n")
             self._log_file.flush()
+        if self._tb is not None:
+            for k, v in summary.items():
+                self._tb.add_scalar(f"validation/{k}", v, step)
         return summary
 
 
@@ -556,15 +615,17 @@ class DOVES1Trainer(Trainer):
 
     stage = 1
 
-    def compute_loss(self, trainable, batch, rng):
+    def compute_loss(self, trainable, frozen, batch, rng):
         enc_rng, fwd_rng = jax.random.split(rng)
-        dit = self.effective_dit_params(trainable)
+        dit = self.effective_dit_params(trainable, frozen)
         if "lq_latent" in batch:  # is_latent: precomputed/cached latents
             lq_lat = batch["lq_latent"]
             hq_lat = batch["hq_latent"]
         else:
-            lq_lat = self._encode(batch["lq_video"], enc_rng)
-            hq_lat = self._encode(batch["hq_video"], jax.random.fold_in(enc_rng, 1))
+            lq_lat = self._encode(frozen["vae"], batch["lq_video"], enc_rng)
+            hq_lat = self._encode(
+                frozen["vae"], batch["hq_video"], jax.random.fold_in(enc_rng, 1)
+            )
         loss_batch = {
             "lq_latent": lq_lat,
             "hq_latent": hq_lat,
@@ -596,10 +657,19 @@ class DOVES2Trainer(Trainer):
             else:
                 kind, edge = "lpips", a.ea_lpips_weight > 0
                 wpath = os.environ.get("DOVE_LPIPS_WEIGHTS")
+            if not wpath and not a.allow_random_perceptual:
+                raise RuntimeError(
+                    f"stage-2 perceptual loss requested but no pretrained "
+                    f"{kind} weights found (set DOVE_{kind.upper()}_WEIGHTS). "
+                    "A run that silently optimizes random-VGG feature "
+                    "distance is almost never what you want; pass "
+                    "--allow_random_perceptual true to opt in explicitly."
+                )
             if not wpath:
                 logger.warning(
-                    "no pretrained %s weights (set DOVE_%s_WEIGHTS); using "
-                    "random VGG features", kind, kind.upper(),
+                    "allow_random_perceptual: using RANDOM %s/VGG features "
+                    "(set DOVE_%s_WEIGHTS for the published recipe)",
+                    kind, kind.upper(),
                 )
             self.perceptual_fn = losses.make_perceptual_fn(
                 kind, edge_aware=edge, weights_path=wpath or None
@@ -607,14 +677,18 @@ class DOVES2Trainer(Trainer):
 
     def build_train_step(self):
         base = super().build_train_step()
-        rng_host = np.random.default_rng(self.args.seed or 0)
         image_ratio = self.args.image_ratio
+        seed = self.args.seed or 0
 
-        def step(trainable, opt_state, _static, batch, rng):
+        def step(trainable, opt_state, frozen, batch, rng):
             # image-vs-video coin flip happens host-side per batch
-            # (reference lora_one_s2_trainer.py:125)
+            # (reference lora_one_s2_trainer.py:125). Keyed on (seed, step)
+            # rather than a sequential host RNG so a resumed run reproduces
+            # the original image/video decision sequence.
             use_image = (
-                "hq_image" in batch and rng_host.uniform() < image_ratio
+                "hq_image" in batch
+                and np.random.default_rng((seed, self.global_step)).uniform()
+                < image_ratio
             )
             if use_image:
                 batch = {
@@ -624,14 +698,14 @@ class DOVES2Trainer(Trainer):
                 }
             batch = {k: v for k, v in batch.items()
                      if k in ("hq_video", "lq_video", "prompt_embeds")}
-            return base(trainable, opt_state, _static, batch, rng)
+            return base(trainable, opt_state, frozen, batch, rng)
 
         return step
 
-    def compute_loss(self, trainable, batch, rng):
+    def compute_loss(self, trainable, frozen, batch, rng):
         enc_rng, fwd_rng = jax.random.split(rng)
-        dit = self.effective_dit_params(trainable)
-        lq_lat = self._encode(batch["lq_video"], enc_rng, per_frame=True)
+        dit = self.effective_dit_params(trainable, frozen)
+        lq_lat = self._encode(frozen["vae"], batch["lq_video"], enc_rng, per_frame=True)
         loss_batch = {
             "lq_latent": lq_lat,
             "hq_video": batch["hq_video"],
@@ -642,7 +716,7 @@ class DOVES2Trainer(Trainer):
             a.dists_weight + a.ea_dists_weight + a.lpips_weight + a.ea_lpips_weight
         )
         return losses.stage2_loss(
-            self.config, self.schedule, dit, self.vae_params, loss_batch, fwd_rng,
+            self.config, self.schedule, dit, frozen["vae"], loss_batch, fwd_rng,
             pixel_weight=1.0,
             perceptual_weight=perceptual_weight,
             frame_diff_weight=a.frame_diff_weight,

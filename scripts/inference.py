@@ -62,13 +62,24 @@ def build_parser() -> argparse.ArgumentParser:
                    help="VAE slicing+tiling: full-frame DiT, feathered VAE "
                         "tiles handle memory (the reference's default mode)")
     p.add_argument("--png_save", action="store_true")
-    p.add_argument("--save_format", type=str, default="yuv444p")
+    p.add_argument(
+        "--save_format", type=str, default="yuv444p",
+        choices=["yuv444p", "yuv420p", "lossless"],
+        help="yuv444p/yuv420p -> best available OpenCV mp4 encode (this "
+             "environment has no ffmpeg/PyAV, so CRF/pix_fmt cannot be "
+             "driven directly — reference writes x264 crf0 yuv444p); "
+             "lossless -> PNG frame directory (exact, like --png_save)",
+    )
     p.add_argument("--tile_size_hw", type=int, nargs=2, default=(0, 0))
     p.add_argument("--overlap_hw", type=int, nargs=2, default=(32, 32))
     p.add_argument("--chunk_len", type=int, default=0)
     p.add_argument("--overlap_t", type=int, default=8)
     p.add_argument("--tile_batch", type=int, default=1,
                    help="batch same-geometry tiles through one device call")
+    p.add_argument("--quantize", type=str, default=None, choices=["int8"],
+                   help="int8 serving mode: per-channel int8 weights + "
+                        "dynamic int8 activations; enables full-spatial "
+                        "(seam-free) staged VAE passes")
     p.add_argument("--data_parallel", type=int, default=0,
                    help="shard tile batches over an N-chip data mesh")
     return p
@@ -156,6 +167,7 @@ def load_pipeline(args):
         config=cfg, dit_params=dit_params, vae_params=vae_params,
         prompt_embedding=prompt_embedding, dtype=dtype,
         vae_tiling=args.is_vae_st,
+        quantize=args.quantize,
         # writers take uint8 directly; keep float when metrics need [0,1]
         output_uint8=args.is_vae_st and not args.eval_metrics,
     )
@@ -183,6 +195,7 @@ def main(argv=None):
     from concurrent.futures import ThreadPoolExecutor
 
     save_pool = ThreadPoolExecutor(max_workers=1)
+    save_futures = []
 
     mesh = None
     if args.data_parallel > 1:
@@ -253,15 +266,15 @@ def main(argv=None):
 
         # overlap the (host-only) encode/write of this clip with the next
         # clip's device work
-        if args.png_save:
-            save_pool.submit(
+        if args.png_save or args.save_format == "lossless":
+            save_futures.append(save_pool.submit(
                 video_io.save_frames_as_png, out, out_dir / vpath.stem
-            )
+            ))
         else:
-            save_pool.submit(
+            save_futures.append(save_pool.submit(
                 video_io.save_video, out, out_dir / (vpath.stem + ".mp4"),
                 args.fps,
-            )
+            ))
 
     if accumulator is not None:
         summary = accumulator.summary()
@@ -272,6 +285,10 @@ def main(argv=None):
         (out_dir / out_name).write_text(json.dumps(summary, indent=2))
 
     save_pool.shutdown(wait=True)
+    # surface write failures (codec error, disk full, bad path): shutdown()
+    # alone swallows exceptions and would report success with missing clips
+    for fut in save_futures:
+        fut.result()
     print("All videos processed.")
 
 

@@ -93,6 +93,30 @@ def test_bucket_sampler_groups_geometry():
     assert sum(len(b) for b in batches) == 5
 
 
+def test_poisson_noise_reference_statistics():
+    """Pin the reference Poisson formula (degradation.py:286-292): rate is
+    computed at 0-255 scale with 2**ceil(log2(n_unique)) quantization, so a
+    constant v-valued image gets noise of variance round(255*v) * (scale/255)^2
+    per pixel (vals == 1 for a constant image)."""
+    from dove_tpu.data.degradation import RandomNoise
+
+    op = RandomNoise({
+        "noise_type": ["poisson"],
+        "noise_prob": [1.0],
+        "poisson_scale": [1.0, 1.0],
+        "poisson_gray_noise_prob": 0.0,
+    })
+    v = 128.0 / 255.0
+    frames = np.full((4, 128, 128, 3), v, np.float32)
+    out = op(frames, np.random.default_rng(0))
+    noise = out - frames  # clipped at [0,1], negligible at v=0.5
+    assert abs(float(noise.mean())) < 2e-3
+    expected_std = np.sqrt(128.0) / 255.0  # ~0.04436
+    assert abs(float(noise.std()) - expected_std) < 0.002
+    # base-10 quantization or a [0,1]-scale rate would give ~0.7 or ~0.06+
+    assert float(noise.std()) < 0.06
+
+
 def test_real_sr_dataset_item(tmp_path):
     import cv2
 

@@ -1,0 +1,81 @@
+"""End-to-end test of the numerical-parity harness (scripts/parity_check.py).
+
+Golden fixtures from a torch+diffusers machine aren't available in this
+environment; the harness self-test (make fixtures with our own models, then
+check against them) exercises the full fixture format, every module tap, and
+the comparison/report path — so real-checkpoint parity is one command away
+(SURVEY.md §7 phase 3-4 gates; VERDICT round-1 item 3).
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+ENV = {**os.environ, "JAX_PLATFORMS": "cpu"}  # don't init the TPU tunnel
+
+EXPECTED_MODULES = {
+    "vae_moments", "vae_decode_out", "dit_out", "dit_block0_out",
+    "sched_alphas", "sched_x0",
+}
+EXPECTED_INPUTS = {
+    "input_video", "input_latent", "dit_latent", "text_embeds", "timestep",
+}
+
+
+def _run(args):
+    return subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "parity_check.py"), *args],
+        capture_output=True, text=True, cwd=REPO, env=ENV,
+    )
+
+
+def test_parity_selftest_roundtrip(tmp_path):
+    fx = tmp_path / "fx.npz"
+    report = tmp_path / "report.json"
+    r = _run(["--make_fixtures", str(fx), "--preset", "tiny"])
+    assert r.returncode == 0, r.stderr
+
+    data = dict(np.load(fx, allow_pickle=False))
+    meta = json.loads(str(data["meta"]))
+    assert meta["preset"] == "tiny" and meta["timestep"] == 399
+    assert EXPECTED_MODULES <= set(data)
+    assert EXPECTED_INPUTS <= set(data)
+    # conventions: channels-last video/moments, [B,F,C,h,w] DiT tensors
+    assert data["input_video"].shape[-1] == 3
+    assert data["vae_moments"].shape[-1] == 2 * data["input_latent"].shape[-1]
+    assert data["dit_out"].shape == data["dit_latent"].shape
+
+    r = _run(["--check", str(fx), "--preset", "tiny", "--report", str(report)])
+    assert r.returncode == 0, r.stdout + r.stderr
+    rep = json.loads(report.read_text())
+    assert rep["pass"] is True
+    mods = {m["module"]: m for m in rep["modules"]}
+    assert set(mods) == EXPECTED_MODULES
+    # identical weights + inputs -> exact (or fp-noise-level) agreement
+    for m in mods.values():
+        assert m["status"] == "PASS"
+        assert m["psnr_db"] > 80
+
+
+def test_parity_detects_mismatch(tmp_path):
+    """A corrupted golden module must FAIL the check (nonzero exit)."""
+    fx = tmp_path / "fx.npz"
+    r = _run(["--make_fixtures", str(fx), "--preset", "tiny"])
+    assert r.returncode == 0, r.stderr
+    data = dict(np.load(fx, allow_pickle=False))
+    data["dit_out"] = data["dit_out"] + 0.05  # visible corruption
+    meta = data.pop("meta")
+    np.savez(fx, meta=meta, **data)
+
+    r = _run(["--check", str(fx), "--preset", "tiny"])
+    assert r.returncode != 0
+    rep = json.loads(r.stdout)
+    mods = {m["module"]: m for m in rep["modules"]}
+    assert mods["dit_out"]["status"] == "FAIL"
+    # the unrelated modules still pass
+    assert mods["vae_moments"]["status"] == "PASS"

@@ -1,0 +1,140 @@
+"""int8 serving-mode tests: quantization math, model dispatch, end-to-end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dove_tpu.config import tiny_test
+from dove_tpu.models.dit import dit_forward, init_dit_params
+from dove_tpu.models.vae import decode, encode_moments, init_vae_params
+from dove_tpu.ops.quant import (
+    dynamic_quant,
+    qlinear,
+    quantize_dit,
+    quantize_vae,
+    quantize_weight,
+)
+
+
+def test_weight_quant_roundtrip_error_bound():
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 96), jnp.float32)
+    w_q, scale = quantize_weight(w)
+    assert w_q.dtype == jnp.int8 and scale.shape == (96,)
+    deq = w_q.astype(jnp.float32) * scale
+    # symmetric per-channel: error <= scale/2 per element
+    err = jnp.abs(deq - w)
+    assert float(jnp.max(err - scale[None, :] / 2)) <= 1e-6
+
+
+def test_dynamic_quant_preserves_scale():
+    x = jax.random.normal(jax.random.PRNGKey(1), (128, 32), jnp.float32) * 7.3
+    x_q, s = dynamic_quant(x)
+    deq = x_q.astype(jnp.float32) * s
+    rel = float(jnp.max(jnp.abs(deq - x)) / jnp.max(jnp.abs(x)))
+    assert rel < 1.0 / 127.0
+
+
+def test_qlinear_matches_fp_linear():
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(2), 3)
+    x = jax.random.normal(k1, (4, 17, 64), jnp.float32)
+    w = jax.random.normal(k2, (64, 48), jnp.float32) * 0.1
+    b = jax.random.normal(k3, (48,), jnp.float32) * 0.01
+    ref = x @ w + b
+    w_q, scale = quantize_weight(w)
+    out = qlinear({"kernel_q": w_q, "kernel_scale": scale, "bias": b}, x)
+    assert out.shape == ref.shape
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.02, f"int8 linear relative error too high: {rel}"
+
+
+@pytest.fixture(scope="module")
+def tiny_models():
+    cfg = tiny_test()
+    dit = init_dit_params(jax.random.PRNGKey(0), cfg.dit, jnp.float32)
+    vae = init_vae_params(jax.random.PRNGKey(1), cfg.vae, jnp.float32)
+    return cfg, dit, vae
+
+
+def test_quantized_dit_close_to_fp(tiny_models):
+    cfg, dit, _ = tiny_models
+    z = jax.random.normal(jax.random.PRNGKey(3), (1, 2, cfg.dit.in_channels, 8, 8),
+                          jnp.float32)
+    text = jax.random.normal(
+        jax.random.PRNGKey(4),
+        (1, cfg.dit.max_text_seq_length, cfg.dit.text_embed_dim), jnp.float32)
+    t = jnp.asarray([399], jnp.int32)
+    ref = dit_forward(dit, cfg.dit, z, text, t)
+    q = quantize_dit(dit)
+    # hot matmuls carry int8 weights; norms/patchify/proj_out stay fp
+    assert q["blocks"]["attn1"]["to_q"]["kernel_q"].dtype == jnp.int8
+    assert "kernel" in q["proj_out"]
+    out = dit_forward(q, cfg.dit, z, text, t)
+    rel = float(jnp.linalg.norm(out - ref) / (jnp.linalg.norm(ref) + 1e-9))
+    assert rel < 0.1, f"int8 DiT drifted too far from fp: {rel}"
+
+
+def test_quantized_vae_roundtrip_close(tiny_models):
+    cfg, _, vae = tiny_models
+    video = jax.random.uniform(jax.random.PRNGKey(5), (1, 5, 32, 32, 3),
+                               jnp.float32, -1, 1)
+    moments_ref = encode_moments(cfg.vae, vae, video)
+    q = quantize_vae(vae)
+    # conv_in (3ch) must stay fp; >=64ch 3x3 convs quantize — on the tiny
+    # config all channel counts are < 64, so only the policy is checked here
+    assert "kernel" in q["encoder"]["conv_in"]
+    moments_q = encode_moments(cfg.vae, q, video)
+    rel = float(
+        jnp.linalg.norm(moments_q - moments_ref)
+        / (jnp.linalg.norm(moments_ref) + 1e-9)
+    )
+    assert rel < 0.15, f"int8 VAE encode drifted too far: {rel}"
+
+    lat = jax.random.normal(jax.random.PRNGKey(6), (1, 2, 4, 4, cfg.vae.latent_channels),
+                            jnp.float32)
+    px_ref = decode(cfg.vae, vae, lat)
+    px_q = decode(cfg.vae, q, lat)
+    rel = float(jnp.linalg.norm(px_q - px_ref) / (jnp.linalg.norm(px_ref) + 1e-9))
+    assert rel < 0.15, f"int8 VAE decode drifted too far: {rel}"
+
+
+def test_quantize_policy_on_realistic_shapes():
+    """>=64-channel 3x3 convs quantize; small/pointwise/io convs stay fp."""
+    tree = {
+        "big": {"kernel": jnp.ones((3, 3, 3, 128, 128), jnp.float32)},
+        "pointwise": {"kernel": jnp.ones((1, 1, 1, 128, 128), jnp.float32)},
+        "conv_in": {"kernel": jnp.ones((3, 3, 3, 3, 128), jnp.float32)},
+        "conv_out": {"kernel": jnp.ones((3, 3, 3, 128, 3), jnp.float32)},
+        "conv2d": {"kernel": jnp.ones((3, 3, 256, 256), jnp.float32)},
+    }
+    q = quantize_vae(tree)
+    assert "kernel_q" in q["big"] and "kernel_q" in q["conv2d"]
+    for k in ("pointwise", "conv_in", "conv_out"):
+        assert "kernel" in q[k], k
+
+
+def test_pipeline_quantized_end_to_end():
+    """Tiny-config staged pipeline in int8 mode produces valid output close
+    to the bf16 path (random weights; loose tolerance)."""
+    from dove_tpu.pipeline import DovePipeline
+
+    cfg = tiny_test()
+    dit = init_dit_params(jax.random.PRNGKey(0), cfg.dit, jnp.float32)
+    vae = init_vae_params(jax.random.PRNGKey(1), cfg.vae, jnp.float32)
+    prompt = jnp.zeros((cfg.dit.max_text_seq_length, cfg.dit.text_embed_dim),
+                       jnp.float32)
+    frames = np.random.default_rng(0).random((5, 16, 16, 3)).astype(np.float32)
+
+    common = dict(config=cfg, prompt_embedding=prompt, dtype=jnp.float32,
+                  vae_tiling=True, donate_input=False, sample_posterior=False)
+    ref = DovePipeline(dit_params=dit, vae_params=vae, **common).process_frames(frames)
+    out = DovePipeline(dit_params=dit, vae_params=vae, quantize="int8",
+                       **common).process_frames(frames)
+    assert out.shape == ref.shape
+    assert np.isfinite(out).all()
+    assert 0.0 <= out.min() and out.max() <= 1.0
+    # tiny config has no >=64ch convs, so only the DiT matmuls quantize.
+    # Random-init weights produce noise-through-noise activations (worst
+    # case for per-tensor scales); the per-module tests above bound the
+    # real quantization error — here just require the outputs correlate.
+    assert float(np.abs(out - ref).mean()) < 0.15
