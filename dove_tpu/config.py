@@ -165,14 +165,17 @@ def cogvideox1_5_5b() -> PipelineConfig:
         vae=VAEConfig(
             scaling_factor=0.7,
             invert_scale_latents=True,
+            # These fields drive the diffusers-parity tiled_* API
+            # (models/vae.py). The staged serving path self-plans its tiling
+            # (DovePipeline._plan_axis: minimal-coverage uniform grids with a
+            # fixed 2-latent feather band, HBM-budgeted max tile sizes).
             # 24-latent (192 px) decode tiles: decoder peak HBM must coexist
             # with ~10.4 GB of resident DiT weights on a 16 GB chip.
             decode_tile_latent_height=24,
             decode_tile_latent_width=24,
-            # Leaner feather overlap than diffusers' (1/6, 1/5): overlap
-            # compute waste drops 1.44x -> 1.19x; the 16-21 px blend bands
-            # still hide seams. Checkpoint-loaded configs (config.json)
-            # keep the diffusers values for behavioral parity.
+            # Leaner feather overlap than diffusers' (1/6, 1/5); the 16-21 px
+            # blend bands still hide seams. Checkpoint-loaded configs
+            # (config.json) keep the diffusers values for behavioral parity.
             tile_overlap_factor_height=1 / 12,
             tile_overlap_factor_width=1 / 12,
         ),

@@ -155,11 +155,22 @@ class DovePipeline:
         np.asarray(jax.device_get(x[(0,) * x.ndim]))
 
     @staticmethod
-    def _grid(size: int, tile: int, stride: int) -> list[int]:
-        """Tile start positions; `stride` must equal the assembly placement
-        stride (tile - blend, same units) so sampled and assembled positions
-        align exactly (VAEConfig.tile_geometry)."""
-        return list(range(0, size, stride)) if size > tile else [0]
+    def _plan_axis(size: int, blend: int, max_tile: int) -> tuple[int, int, int]:
+        """Uniform minimal-coverage tiling of one axis -> (tile, stride, n).
+
+        Picks the FEWEST tiles of size <= max_tile with a fixed `blend`
+        feather band, sized so (n-1)*stride + tile barely covers `size`
+        (stride = tile - blend). The previous range()-based grid both
+        over-generated tiles (a start was emitted even when prior tiles
+        already covered the axis) and cropped the last tile to the stride in
+        assembly — together ~1.6x redundant decode compute at 720p vs this
+        plan's ~1.15x.
+        """
+        if size <= max_tile:
+            return size, size, 1
+        n = -(-(size - blend) // (max_tile - blend))  # ceil division
+        tile = min(-(-(size - blend) // n) + blend, max_tile)
+        return tile, tile - blend, n
 
     @staticmethod
     def _feather_assemble(
@@ -200,7 +211,11 @@ class DovePipeline:
                     band = lerp(row[c - 1][:, :, -blend_w:],
                                 tile[:, :, :blend_w], blend_w, 2)
                     tile = jnp.concatenate([band, tile[:, :, blend_w:]], axis=2)
-                out_row.append(tile[:, :row_limit_h, :row_limit_w])
+                # interior tiles place `stride` px; the LAST row/col keeps its
+                # full extent so minimal-coverage plans need no extra tile
+                h_keep = th if r == n_rows - 1 else row_limit_h
+                w_keep = tw if c == n_cols - 1 else row_limit_w
+                out_row.append(tile[:, :h_keep, :w_keep])
             result_rows.append(jnp.concatenate(out_row, axis=2))
             prev_row = row
         out = jnp.concatenate(result_rows, axis=1)
@@ -210,23 +225,18 @@ class DovePipeline:
         if self._staged:
             return self._staged
         cfg = self.config
-        fh = cfg.vae.tile_overlap_factor_height
-        fw = cfg.vae.tile_overlap_factor_width
         s = cfg.vae.spatial_scale
 
-        # Full-spatial mode (int8 serving): with the DiT halved to ~5.2 GB
-        # resident, per-chunk full-frame VAE activations fit next to it, so
-        # encode/decode run WITHOUT spatial windows — no feather-overlap
-        # recompute (the windowed path redoes ~19% of the conv FLOPs at the
-        # preset factors) and exact, seam-free outputs. Temporal chunking
-        # bounds the activation: small frame batches thread the causal cache.
-        full_spatial = self.quantize is not None
-        # Chunk sizes keep the causal convention intact: the FIRST chunk
-        # carries the odd frame, continuations are even — the temporal
-        # up/downsamplers branch on that parity, so a chunk size of 1 would
-        # make every continuation look like a clip start.
-        ENC_CHUNK_FRAMES = 8  # pixel frames per encoder pass
-        DEC_CHUNK_FRAMES = 2  # latent frames per decoder pass (8 px frames)
+        # Feather band: 2 latents (16 px) — hides seams at every measured
+        # geometry. Max tile areas are HBM-budgeted: decoder temps scale
+        # ~linearly with latent tile area (measured 2.6 GB at 24x24 next to
+        # a 10.4 GB bf16 DiT); int8 halves the resident DiT, buying larger
+        # tiles -> fewer tiles -> less redundant feather compute.
+        BLEND_LAT = 2
+        if self.quantize:
+            enc_max_lat, dec_max_lat = 40, 40
+        else:
+            enc_max_lat, dec_max_lat = 32, 28
 
         def enc_all(params, lq):
             """Upscale + window + encode + feather-assemble, ONE program.
@@ -239,23 +249,22 @@ class DovePipeline:
             up = jax.image.resize(
                 lq.astype(jnp.float32), (B, F, Hu, Wu, 3), "bilinear"
             ).astype(lq.dtype)
-            if full_spatial:
-                return vae_mod.encode_moments(
-                    cfg.vae, params, up, chunk_frames=ENC_CHUNK_FRAMES
-                )
-            th, tw = cfg.vae.tile_sample_min_height, cfg.vae.tile_sample_min_width
-            if Hu <= th and Wu <= tw:
+            lat_h, lat_w = Hu // s, Wu // s
+            tile_h, stride_h, n_rows = self._plan_axis(lat_h, BLEND_LAT, enc_max_lat)
+            tile_w, stride_w, n_cols = self._plan_axis(lat_w, BLEND_LAT, enc_max_lat)
+            if n_rows == 1 and n_cols == 1:
                 return vae_mod.encode_moments(cfg.vae, params, up)
-            blend_h, stride_h = cfg.vae.tile_geometry(th // s, fh)
-            blend_w, stride_w = cfg.vae.tile_geometry(tw // s, fw)
-            rows_i = self._grid(Hu, th, stride_h * s)
-            cols_j = self._grid(Wu, tw, stride_w * s)
-            ph = max(rows_i[-1] + th - Hu, 0)
-            pw = max(cols_j[-1] + tw - Wu, 0)
-            up = jnp.pad(up, ((0, 0), (0, 0), (0, ph), (0, pw), (0, 0)),
-                         mode="edge")
+            th, tw = tile_h * s, tile_w * s
+            cover_h = ((n_rows - 1) * stride_h + tile_h) * s
+            cover_w = ((n_cols - 1) * stride_w + tile_w) * s
+            up = jnp.pad(
+                up,
+                ((0, 0), (0, 0), (0, cover_h - Hu), (0, cover_w - Wu), (0, 0)),
+                mode="edge",
+            )
             coords = jnp.asarray(
-                [(i, j) for i in rows_i for j in cols_j], jnp.int32
+                [(r * stride_h * s, c * stride_w * s)
+                 for r in range(n_rows) for c in range(n_cols)], jnp.int32
             )
 
             def one(ij):
@@ -266,9 +275,10 @@ class DovePipeline:
 
             tiles = jax.lax.map(one, coords)
             moments = self._feather_assemble(
-                tiles, len(rows_i), len(cols_j),
-                blend_h, blend_w,
-                Hu // s, Wu // s,
+                tiles, n_rows, n_cols,
+                BLEND_LAT if n_rows > 1 else 0,
+                BLEND_LAT if n_cols > 1 else 0,
+                lat_h, lat_w,
             )
             return moments[None]
 
@@ -277,37 +287,33 @@ class DovePipeline:
             program. z: [1, F', h, w, C] (unscaled latent); returns
             [F, H, W, 3] uint8."""
             B, Fl, zh, zw, C = z.shape
-            lh = cfg.vae.decode_tile_latent_height or cfg.vae.tile_sample_min_height // s
-            lw = cfg.vae.decode_tile_latent_width or cfg.vae.tile_sample_min_width // s
-            if full_spatial:
-                pixels = vae_mod.decode(
-                    cfg.vae, params, z, chunk_frames=DEC_CHUNK_FRAMES
-                )[0]
-            elif zh <= lh and zw <= lw:
+            tile_h, stride_h, n_rows = self._plan_axis(zh, BLEND_LAT, dec_max_lat)
+            tile_w, stride_w, n_cols = self._plan_axis(zw, BLEND_LAT, dec_max_lat)
+            if n_rows == 1 and n_cols == 1:
                 pixels = vae_mod.decode(cfg.vae, params, z)[0]
             else:
-                blend_h, stride_h = cfg.vae.tile_geometry(lh, fh)
-                blend_w, stride_w = cfg.vae.tile_geometry(lw, fw)
-                rows_i = self._grid(zh, lh, stride_h)
-                cols_j = self._grid(zw, lw, stride_w)
-                pzh = max(rows_i[-1] + lh - zh, 0)
-                pzw = max(cols_j[-1] + lw - zw, 0)
-                zp = jnp.pad(z, ((0, 0), (0, 0), (0, pzh), (0, pzw), (0, 0)),
-                             mode="edge") if pzh or pzw else z
+                cover_h = (n_rows - 1) * stride_h + tile_h
+                cover_w = (n_cols - 1) * stride_w + tile_w
+                zp = jnp.pad(
+                    z,
+                    ((0, 0), (0, 0), (0, cover_h - zh), (0, cover_w - zw), (0, 0)),
+                    mode="edge",
+                ) if cover_h > zh or cover_w > zw else z
 
                 def one(ij):
                     tile = jax.lax.dynamic_slice(
-                        zp, (0, 0, ij[0], ij[1], 0), (B, Fl, lh, lw, C)
+                        zp, (0, 0, ij[0], ij[1], 0), (B, Fl, tile_h, tile_w, C)
                     )
                     return vae_mod.decode(cfg.vae, params, tile)[0]
 
-                tiles = jax.lax.map(one, coords := jnp.asarray(
-                    [(i, j) for i in rows_i for j in cols_j], jnp.int32
+                tiles = jax.lax.map(one, jnp.asarray(
+                    [(r * stride_h, c * stride_w)
+                     for r in range(n_rows) for c in range(n_cols)], jnp.int32
                 ))
-                del coords
                 pixels = self._feather_assemble(
-                    tiles, len(rows_i), len(cols_j),
-                    blend_h * s, blend_w * s,
+                    tiles, n_rows, n_cols,
+                    (BLEND_LAT if n_rows > 1 else 0) * s,
+                    (BLEND_LAT if n_cols > 1 else 0) * s,
                     zh * s, zw * s,
                 )
             out01 = jnp.clip(pixels.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)

@@ -81,6 +81,9 @@ class Args(BaseModel):
     ########## Parallelism (TPU mesh; replaces DDP/ZeRO/NCCL) ##########
     data_parallel: int = 0  # 0 = all devices on the data axis
     fsdp: int = 1  # size of the "model" axis (param/optimizer sharding)
+    # run jax.distributed.initialize() at startup (multi-node analog of the
+    # reference's `accelerate launch --multi_gpu` over NCCL)
+    multihost: bool = False
 
     ########## LoRA ##########
     rank: int = 128

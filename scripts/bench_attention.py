@@ -1,0 +1,209 @@
+#!/usr/bin/env python
+"""Flash-attention ablations at the DiT bench shape (48 heads, S=18226, D=64).
+
+Measured round-1 state: bounded-logits + exp2 kernel at ~79 ms (52 TF/s);
+the D=64 QK^T contraction caps the MXU at ~50% peak (~98 TF/s), so the gap
+to the cap is per-step VPU work (exp2 + rowsum over 1M logits) serialized
+against the MXU. Variants probed here:
+
+  base   : shipped bounded kernel (ops/pallas/flash_attention.py)
+  vones  : rowsum folded into the PV matmul via a ones column appended to V
+           (V is [*, 64] — lanes are padded to 128 anyway, so the extra
+           column is MXU-free; removes the VPU rowsum)
+  ksplit : block_k processed as two halves inside one grid step so the
+           second half's QK^T (MXU) can overlap the first half's exp2 (VPU)
+  both   : vones + ksplit
+
+Run: python scripts/bench_attention.py [--sq 18226 --heads 48]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _barrier(x):
+    np.asarray(jax.device_get(x[(0,) * x.ndim]))
+
+
+def timed(fn, *args, repeats=5, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    _barrier(out)
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _barrier(out)
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def _pad_to(x, axis, multiple):
+    pad = (-x.shape[axis]) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _kernel_variant(
+    q_ref, k_ref, v_ref, o_ref, l_scr, acc_scr,
+    *, scale, kv_len, block_k, vones, ksplit,
+):
+    kj = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    eff = scale * 1.4426950408889634
+
+    def half(k_blk, v_blk, base_col):
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * eff
+        if kv_len % block_k:
+            col = base_col + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < kv_len, s, -jnp.inf)
+        p = jnp.exp2(s)
+        acc = jax.lax.dot(
+            p.astype(v_blk.dtype), v_blk, preferred_element_type=jnp.float32
+        )
+        if vones:
+            return acc, None
+        return acc, jnp.sum(p, axis=-1, keepdims=True)
+
+    if ksplit:
+        h = block_k // 2
+        a1, l1 = half(k_ref[0, :h], v_ref[0, :h], kj * block_k)
+        a2, l2 = half(k_ref[0, h:], v_ref[0, h:], kj * block_k + h)
+        acc = a1 + a2
+        lsum = None if vones else l1 + l2
+    else:
+        acc, lsum = half(k_ref[0], v_ref[0], kj * block_k)
+
+    acc_scr[:] += acc
+    if not vones:
+        l_scr[:] = l_scr[:] + jnp.broadcast_to(lsum, l_scr.shape)
+
+    @pl.when(kj == nk - 1)
+    def _finish():
+        if vones:
+            # ones column rode along at feature index D (last matmul column)
+            l = acc_scr[:, -1:]
+            o_ref[0] = (acc_scr[:, :-1] / l).astype(o_ref.dtype)
+        else:
+            o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+
+
+def variant_fwd(q, k, v, scale, block_q, block_k, vones, ksplit):
+    bh, sq, d = q.shape
+    kv_len = k.shape[1]
+    qp = _pad_to(q, 1, block_q)
+    kp = _pad_to(k, 1, block_k)
+    vp = _pad_to(v, 1, block_k)
+    if vones:
+        ones = jnp.ones(vp.shape[:-1] + (1,), vp.dtype)
+        vp = jnp.concatenate([vp, ones], axis=-1)  # [bh, skv, d+1]
+    nq = qp.shape[1] // block_q
+    nk = kp.shape[1] // block_k
+    d_out = d + 1 if vones else d
+
+    kernel = functools.partial(
+        _kernel_variant, scale=scale, kv_len=kv_len, block_k=block_k,
+        vones=vones, ksplit=ksplit,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d_out), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, d_out), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(qp, kp, vp)
+    return out[:, :sq]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sq", type=int, default=18226)
+    ap.add_argument("--heads", type=int, default=48)
+    ap.add_argument("--d", type=int, default=64)
+    ap.add_argument("--block_q", type=int, default=1024)
+    ap.add_argument("--block_k", type=int, default=1024)
+    ap.add_argument("--which", default="base,vones,ksplit,both")
+    args = ap.parse_args()
+    print(f"device: {jax.devices()[0]}")
+
+    bh, s, d = args.heads, args.sq, args.d
+    rng = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(rng, 3)
+    q = jax.random.normal(kq, (bh, s, d), jnp.bfloat16)
+    k = jax.random.normal(kk, (bh, s, d), jnp.bfloat16)
+    v = jax.random.normal(kv, (bh, s, d), jnp.bfloat16)
+    scale = 1.0 / (d**0.5)
+    flops = 4.0 * bh * s * s * d
+
+    from dove_tpu.ops.pallas.flash_attention import flash_attention
+
+    which = set(args.which.split(","))
+    ref = None
+    if "base" in which:
+        f = jax.jit(lambda q, k, v: flash_attention(
+            q[None], k[None], v[None], scale,
+            args.block_q, args.block_k, True)[0])
+        t = timed(f, q, k, v)
+        ref = f(q, k, v)
+        print(f"base   : {t*1e3:.1f} ms  {flops/t/1e12:.0f} TF/s")
+
+    for name, vones, ksplit in (
+        ("vones", True, False), ("ksplit", False, True), ("both", True, True),
+    ):
+        if name not in which:
+            continue
+        f = jax.jit(functools.partial(
+            variant_fwd, scale=scale, block_q=args.block_q,
+            block_k=args.block_k, vones=vones, ksplit=ksplit))
+        t = timed(f, q, k, v)
+        out = f(q, k, v)
+        err = ""
+        if ref is not None:
+            rel = float(jnp.linalg.norm((out - ref).astype(jnp.float32))
+                        / jnp.linalg.norm(ref.astype(jnp.float32)))
+            err = f"  rel_err={rel:.2e}"
+        print(f"{name:7s}: {t*1e3:.1f} ms  {flops/t/1e12:.0f} TF/s{err}")
+
+
+if __name__ == "__main__":
+    main()

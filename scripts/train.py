@@ -31,6 +31,20 @@ def main() -> None:
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
     )
     args = Args.parse_args()
+    if args.multihost:
+        # Multi-host data/model parallelism (the reference's multi-node
+        # accelerate/NCCL analog): one process per host, XLA collectives
+        # ride ICI within a slice and DCN across slices. Coordinator and
+        # process ids come from the TPU runtime environment (GKE/queued
+        # resources) or the standard JAX_COORDINATOR_* variables.
+        import jax
+
+        jax.distributed.initialize()
+        logging.info(
+            "multihost: process %d/%d, %d local / %d global devices",
+            jax.process_index(), jax.process_count(),
+            jax.local_device_count(), jax.device_count(),
+        )
     trainer_cls = get_model_cls(args.model_name, args.training_type)
     trainer = trainer_cls(args)
     trainer.fit()

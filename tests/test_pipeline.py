@@ -70,3 +70,31 @@ def test_staged_auto_chunking_long_clip(params):
     out = _pipe(params, vae_tiling=True).process_frames(frames)
     assert out.shape == (41, 32, 32, 3)
     assert np.isfinite(out).all()
+
+
+def test_plan_axis_minimal_coverage():
+    """Uniform minimal-coverage tiling: fewest tiles, exact stride/blend
+    relation, coverage >= size, tiles <= max."""
+    from dove_tpu.pipeline import DovePipeline
+
+    plan = DovePipeline._plan_axis
+    # single tile when it fits
+    assert plan(24, 2, 32) == (24, 24, 1)
+    for size, blend, max_tile in [
+        (90, 2, 28), (90, 2, 32), (90, 2, 40), (160, 2, 28), (160, 2, 32),
+        (160, 2, 40), (45, 2, 32), (33, 2, 32), (129, 2, 24),
+    ]:
+        tile, stride, n = plan(size, blend, max_tile)
+        assert tile <= max_tile
+        assert stride == tile - blend
+        cover = (n - 1) * stride + tile
+        assert cover >= size, (size, blend, max_tile, tile, stride, n)
+        # minimality: one fewer tile of the max size cannot cover
+        if n > 1:
+            assert (n - 2) * (max_tile - blend) + max_tile < size
+    # the 720p bench geometry: 4x7 decode tiles at <=28 (was 5x8 at 24),
+    # 3x5 at <=40 (int8 budget)
+    assert plan(90, 2, 28) == (24, 22, 4)
+    assert plan(160, 2, 28) == (25, 23, 7)
+    assert plan(90, 2, 40) == (32, 30, 3)
+    assert plan(160, 2, 40) == (34, 32, 5)
