@@ -117,27 +117,27 @@ def causal_conv3d(
     pad_h, pad_w = (kh - 1) // 2, (kw - 1) // 2
     pad = ((pad_h, pad_h), (pad_w, pad_w))
     # The tap-stacked lowering materializes a k_t*C-channel activation copy
-    # (3x the input). For full-spatial chunks (int8 serving mode) that copy
-    # alone is several GB, so above a size threshold fall back to k_t
-    # separate 2D convs accumulated — measured perf-neutral, 3x less live
-    # activation memory.
-    stack_taps = kt == 1 or (B * F * H * W * C * kt) <= (1 << 28)
+    # (3x the input). All windowed-tile bodies stay BELOW this threshold and
+    # keep the stacked lowering (measured fastest); only full-frame 720p+
+    # chunks (multi-GB copies) fall back to k_t separate 2D convs accumulated
+    # — measured perf-neutral at tile sizes, 3x less live activation memory.
+    stack_taps = kt == 1 or (B * F * H * W * C * kt) <= (1 << 30)
+
+    def conv2d_raw(xs, kernel, pet=None):
+        return jax.lax.conv_general_dilated(
+            xs, kernel, (1, 1), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=pet,
+        )
 
     def run_conv(xs, kernel):
         if quantized:
             from dove_tpu.ops.quant import dynamic_quant
 
             xs_q, s_x = dynamic_quant(xs)
-            acc = jax.lax.conv_general_dilated(
-                xs_q, kernel, (1, 1), pad,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.int32,
-            )
+            acc = conv2d_raw(xs_q, kernel, jnp.int32)
             return acc.astype(jnp.float32) * (s_x * p["kernel_scale"])
-        return jax.lax.conv_general_dilated(
-            xs, kernel.astype(x.dtype), (1, 1), pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        return conv2d_raw(xs, kernel.astype(x.dtype))
 
     if kt == 1:
         y = run_conv(x.reshape(B * F, H, W, C), kernel_leaf[0])
@@ -151,6 +151,23 @@ def causal_conv3d(
         y = run_conv(
             xs, kernel_leaf.transpose(1, 2, 0, 3, 4).reshape(kh, kw, kt * C, -1)
         )
+    elif quantized:
+        # quantize the (temporally padded) input ONCE, slice int8 taps:
+        # one amax/round pass instead of k_t, and a single shared scale
+        from dove_tpu.ops.quant import dynamic_quant
+
+        x_q, s_x = dynamic_quant(x)
+        acc = sum(
+            conv2d_raw(
+                jax.lax.slice_in_dim(x_q, dt, dt + F, axis=1).reshape(
+                    B * F, H, W, C
+                ),
+                kernel_leaf[dt],
+                jnp.int32,
+            )
+            for dt in range(kt)
+        )
+        y = acc.astype(jnp.float32) * (s_x * p["kernel_scale"])
     else:
         y = sum(
             run_conv(

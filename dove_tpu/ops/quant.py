@@ -21,6 +21,7 @@ path only).
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -39,6 +40,23 @@ def quantize_weight(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     wf = w.astype(jnp.float32)
     axes = tuple(range(w.ndim - 1))
     amax = jnp.max(jnp.abs(wf), axis=axes)
+    scale = jnp.maximum(amax, _EPS) / 127.0
+    w_q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return w_q, scale
+
+
+# Donated variants: quantizing a 5B-parameter tree must NOT transiently hold
+# both the bf16 and int8 copies in HBM (10.4 + 5.2 GB > a v5e chip next to
+# anything else). Donation frees each bf16 kernel as its int8 version lands.
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _quantize_weight_donated(w):
+    return quantize_weight(w)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _quantize_stacked_donated(w):
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=1, keepdims=True)  # [L, 1, out]
     scale = jnp.maximum(amax, _EPS) / 127.0
     w_q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
     return w_q, scale
@@ -97,7 +115,7 @@ def is_quantized(p: Params) -> bool:
 
 def _quantize_leaf_dict(p: Params) -> Params:
     """{"kernel": w, "bias"?} -> {"kernel_q", "kernel_scale", "bias"?}."""
-    w_q, scale = quantize_weight(p["kernel"])
+    w_q, scale = _quantize_weight_donated(p["kernel"])
     out = {"kernel_q": w_q, "kernel_scale": scale}
     if "bias" in p:
         out["bias"] = p["bias"]
@@ -118,13 +136,8 @@ def quantize_dit(params: Params) -> Params:
     scales broadcast per layer: kernel [L, in, out] -> scale [L, 1, out])."""
 
     def q_stacked(p):
-        w = p["kernel"].astype(jnp.float32)
-        amax = jnp.max(jnp.abs(w), axis=1, keepdims=True)  # [L, 1, out]
-        scale = jnp.maximum(amax, _EPS) / 127.0
-        out = {
-            "kernel_q": jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8),
-            "kernel_scale": scale,
-        }
+        w_q, scale = _quantize_stacked_donated(p["kernel"])
+        out = {"kernel_q": w_q, "kernel_scale": scale}
         if "bias" in p:
             out["bias"] = p["bias"]
         return out

@@ -62,6 +62,108 @@ def _pad_to(x, axis, multiple):
     return jnp.pad(x, widths)
 
 
+def _kernel_qk8(
+    scale_ref,  # SMEM [2]: [eff_logit_scale (incl. s_q*s_k*log2e), out_scale]
+    q_ref, k_ref, v_ref, o_ref, acc_scr,
+    *, kv_len, block_k, pv8,
+):
+    """int8 QK^T (and optionally int8 PV): q/k arrive pre-quantized int8;
+    the D=64 contraction runs at the MXU int8 rate. Rowsum rides as a ones
+    column on V (vones)."""
+    kj = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * scale_ref[0]
+    if kv_len % block_k:
+        col = kj * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, -jnp.inf)
+    p = jnp.exp2(s)
+    if pv8:
+        # per-block dynamic int8 for P (non-negative). The P-scale cancels in
+        # the final acc/acc_ones ratio; only V's scale survives (out_scale).
+        amax = jnp.maximum(jnp.max(p), 1e-6)
+        acc = jax.lax.dot(
+            jnp.clip(jnp.round(p * (127.0 / amax)), 0, 127).astype(jnp.int8),
+            v_ref[0], preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * amax
+    else:
+        acc = jax.lax.dot(
+            p.astype(jnp.bfloat16), v_ref[0], preferred_element_type=jnp.float32
+        )
+    acc_scr[:] += acc
+
+    @pl.when(kj == nk - 1)
+    def _finish():
+        o_ref[0] = (
+            acc_scr[:, :-1] / acc_scr[:, -1:] * scale_ref[1]
+        ).astype(o_ref.dtype)
+
+
+def qk8_fwd(q, k, v, scale, block_q, block_k, pv8=False):
+    """q, k (and v when pv8) quantized per-tensor OUTSIDE the kernel."""
+    bh, sq, d = q.shape
+    kv_len = k.shape[1]
+
+    def quant(x):
+        amax = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-6)
+        s = amax / 127.0
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127)
+        return xq.astype(jnp.int8), s
+
+    q8, s_q = quant(q)
+    k8, s_k = quant(k)
+    qp = _pad_to(q8, 1, block_q)
+    kp = _pad_to(k8, 1, block_k)
+    if pv8:
+        v8, s_v = quant(v)
+        vp = _pad_to(v8, 1, block_k)
+        ones = jnp.full(vp.shape[:-1] + (1,), 127, vp.dtype)
+        # ones column encodes 1.0 as 127 int8 -> out_scale folds 127*s_v / 127
+        out_scale = s_v * 127.0
+    else:
+        vp = _pad_to(v, 1, block_k)
+        ones = jnp.ones(vp.shape[:-1] + (1,), vp.dtype)
+        out_scale = jnp.float32(1.0)
+    vp = jnp.concatenate([vp, ones], axis=-1)
+    nq = qp.shape[1] // block_q
+    nk = kp.shape[1] // block_k
+    d_out = vp.shape[-1]
+
+    eff = (s_q * s_k * scale * 1.4426950408889634).astype(jnp.float32)
+    scales = jnp.stack([eff, jnp.float32(out_scale)])
+
+    kernel = functools.partial(
+        _kernel_qk8, kv_len=kv_len, block_k=block_k, pv8=pv8,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d_out), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, qp.shape[1], d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d_out), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(scales, qp, kp, vp)
+    return out[:, :sq]
+
+
 def _kernel_variant(
     q_ref, k_ref, v_ref, o_ref, l_scr, acc_scr,
     *, scale, kv_len, block_k, vones, ksplit,
@@ -187,14 +289,7 @@ def main():
         ref = f(q, k, v)
         print(f"base   : {t*1e3:.1f} ms  {flops/t/1e12:.0f} TF/s")
 
-    for name, vones, ksplit in (
-        ("vones", True, False), ("ksplit", False, True), ("both", True, True),
-    ):
-        if name not in which:
-            continue
-        f = jax.jit(functools.partial(
-            variant_fwd, scale=scale, block_q=args.block_q,
-            block_k=args.block_k, vones=vones, ksplit=ksplit))
+    def report(name, f):
         t = timed(f, q, k, v)
         out = f(q, k, v)
         err = ""
@@ -203,6 +298,24 @@ def main():
                         / jnp.linalg.norm(ref.astype(jnp.float32)))
             err = f"  rel_err={rel:.2e}"
         print(f"{name:7s}: {t*1e3:.1f} ms  {flops/t/1e12:.0f} TF/s{err}")
+
+    for name, vones, ksplit in (
+        ("vones", True, False), ("ksplit", False, True), ("both", True, True),
+    ):
+        if name not in which:
+            continue
+        report(name, jax.jit(functools.partial(
+            variant_fwd, scale=scale, block_q=args.block_q,
+            block_k=args.block_k, vones=vones, ksplit=ksplit)))
+
+    if "qk8" in which:
+        report("qk8", jax.jit(functools.partial(
+            qk8_fwd, scale=scale, block_q=args.block_q,
+            block_k=args.block_k, pv8=False)))
+    if "full8" in which:
+        report("full8", jax.jit(functools.partial(
+            qk8_fwd, scale=scale, block_q=args.block_q,
+            block_k=args.block_k, pv8=True)))
 
 
 if __name__ == "__main__":

@@ -115,6 +115,12 @@ def load_models(args):
 
         dit_params = init_dit_params(jax.random.PRNGKey(0), cfg.dit, dtype)
         vae_params = init_vae_params(jax.random.PRNGKey(1), cfg.vae, dtype)
+    if args.quantize == "int8":
+        # measure the int8 serving mode's drift against bf16/torch goldens
+        from dove_tpu.ops.quant import quantize_dit, quantize_vae
+
+        dit_params = quantize_dit(dit_params)
+        vae_params = quantize_vae(vae_params)
     return cfg, dit_params, vae_params
 
 
@@ -236,6 +242,9 @@ def main(argv=None):
                     choices=["tiny", "cogvideox1.5-5b", "cogvideox-2b"])
     ap.add_argument("--dtype", type=str, default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--quantize", type=str, default=None, choices=["int8"],
+                    help="check the int8 serving mode against the goldens "
+                         "(quantifies quantization drift per module)")
     ap.add_argument("--psnr_bar", type=float, default=PSNR_BAR_DB)
     ap.add_argument("--report", type=str, default=None,
                     help="also write the JSON report here")
