@@ -155,6 +155,29 @@ class DovePipeline:
         np.asarray(jax.device_get(x[(0,) * x.ndim]))
 
     @staticmethod
+    def _parallel_get(x: jnp.ndarray, parts: int = 64, workers: int = 32) -> np.ndarray:
+        """Device->host pull over parallel streams.
+
+        The relay-backed host link is per-stream bound (~13 MB/s single
+        stream); concurrent pulls of contiguous chunks reach ~63 MB/s at
+        64 parts x 32 threads (measured; >32 worker threads can deadlock the
+        relay client — do not raise). Small arrays pull directly."""
+        nbytes = x.size * x.dtype.itemsize
+        if nbytes < (8 << 20):
+            return np.asarray(jax.device_get(x))
+        from concurrent.futures import ThreadPoolExecutor
+
+        shape = x.shape
+        flat = x.reshape(-1)
+        bounds = np.linspace(0, flat.shape[0], parts + 1).astype(int)
+        chunks = [
+            flat[a:b] for a, b in zip(bounds[:-1], bounds[1:]) if b > a
+        ]
+        with ThreadPoolExecutor(min(workers, len(chunks))) as ex:
+            outs = list(ex.map(lambda a: np.asarray(jax.device_get(a)), chunks))
+        return np.concatenate(outs).reshape(shape)
+
+    @staticmethod
     def _plan_axis(size: int, blend: int, max_tile: int) -> tuple[int, int, int]:
         """Uniform minimal-coverage tiling of one axis -> (tile, stride, n).
 
@@ -379,7 +402,7 @@ class DovePipeline:
         if timing:
             print(f"stage dit: {t2 - t1:.2f}s", flush=True)
 
-        out_u8 = np.asarray(fns["dec_all"](self.vae_params, z))
+        out_u8 = self._parallel_get(fns["dec_all"](self.vae_params, z))
         t3 = time.time()
         self.stage_times["dec"] = self.stage_times.get("dec", 0.0) + (t3 - t2)
         if timing:
@@ -581,7 +604,7 @@ class DovePipeline:
 
         def drain(p):
             out, batch_tiles, nfs, n_real = p
-            out_np = np.asarray(out[:n_real], np.float32)
+            out_np = self._parallel_get(out[:n_real]).astype(np.float32)
             for t, nf, o in zip(batch_tiles, nfs, out_np):
                 stitcher.add(t, to_stitch(o[:nf]))
 
