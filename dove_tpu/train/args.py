@@ -63,6 +63,7 @@ class Args(BaseModel):
     optimizer: str = "adamw"
     beta1: float = 0.9
     beta2: float = 0.95
+    beta3: float = 0.9999  # CAME confidence EMA (reference schemas/args.py)
     epsilon: float = 1e-8
     weight_decay: float = 1e-4
     max_grad_norm: float = 1.0

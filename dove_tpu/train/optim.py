@@ -2,7 +2,8 @@
 
 Mirrors the reference's surface (finetune/utils/optimizer_utils.py: adam /
 adamw / prodigy / came; WarmupLR / WarmupDecayLR schedules from the DeepSpeed
-config rewrite at trainer.py:125-169) on optax. Quantized (8-bit/4-bit) and
+config rewrite at trainer.py:125-169) on optax. CAME is implemented natively
+below (the reference imports came_pytorch). Quantized (8-bit/4-bit) and
 CPU-offload optimizer variants are GPU-ecosystem features; on TPU the
 equivalent memory lever is parameter/optimizer sharding over the mesh
 (dove_tpu/parallel), so those flags map to the sharded path.
@@ -10,6 +11,10 @@ equivalent memory lever is parameter/optimizer sharding over the mesh
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
 import optax
 
 
@@ -76,11 +81,133 @@ def make_lr_schedule(
     raise ValueError(f"unknown lr schedule: {kind}")
 
 
+class CameState(NamedTuple):
+    count: jnp.ndarray
+    m: optax.Updates          # first moment (unfactored, like Adam)
+    vr: optax.Updates         # factored second moment: row stats
+    vc: optax.Updates         # factored second moment: col stats
+    ur: optax.Updates         # factored instability (confidence): row stats
+    uc: optax.Updates         # factored instability (confidence): col stats
+
+
+def came(
+    learning_rate: optax.ScalarOrSchedule,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    b3: float = 0.9999,
+    eps1: float = 1e-30,
+    eps2: float = 1e-16,
+    clip_threshold: float = 1.0,
+    weight_decay: float = 0.0,
+) -> optax.GradientTransformation:
+    """CAME: Confidence-guided Adaptive Memory Efficient optimizer.
+
+    Luo et al. 2023 (ACL), as exposed by the reference's optimizer factory
+    (finetune/utils/optimizer_utils.py `get_optimizer(..., "came")`). Per
+    matrix parameter: an Adafactor-style factored second moment normalizes
+    the gradient, the normalized update is RMS-clipped, folded into an
+    unfactored first moment m, and m is then rescaled by a factored
+    *confidence* statistic of the instability (u - m)^2 — large disagreement
+    between the instantaneous update and the momentum shrinks the step.
+
+    Leaves with ndim >= 2 factor over their LAST TWO dims (leading dims are
+    batch — covers this codebase's stacked per-layer [L, ...] leaves);
+    vectors/scalars keep unfactored second moments and skip the confidence
+    rescale (matching the reference implementation's matrix-only factoring).
+    """
+
+    def factored(p):
+        return p.ndim >= 2
+
+    def init(params):
+        def zeros_like_row(p):  # stats over the last dim removed
+            return jnp.zeros(p.shape[:-1], jnp.float32) if factored(p) else jnp.zeros(p.shape, jnp.float32)
+
+        def zeros_like_col(p):  # stats over the second-to-last dim removed
+            return (
+                jnp.zeros(p.shape[:-2] + p.shape[-1:], jnp.float32)
+                if factored(p)
+                else jnp.zeros((), jnp.float32)
+            )
+
+        return CameState(
+            count=jnp.zeros((), jnp.int32),
+            m=jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params),
+            vr=jax.tree.map(zeros_like_row, params),
+            vc=jax.tree.map(zeros_like_col, params),
+            ur=jax.tree.map(zeros_like_row, params),
+            uc=jax.tree.map(zeros_like_col, params),
+        )
+
+    def rsqrt_approx(r, c):
+        """rsqrt of the Adafactor rank-1 reconstruction r c / mean_row(r),
+        applied PER FACTOR: rsqrt(r/mean(r)) * rsqrt(c). Computing the
+        product first underflows fp32 for zero-gradient leaves (r*c ~ eps^2
+        ~ 1e-60 -> 0 -> rsqrt = inf -> 0*inf = NaN); the factored form stays
+        finite (came_pytorch's _approx_sq_grad uses the same shape)."""
+        denom = jnp.maximum(jnp.mean(r, axis=-1, keepdims=True), 1e-38)
+        return jax.lax.rsqrt(r / denom)[..., None] * jax.lax.rsqrt(c)[..., None, :]
+
+    def update(grads, state, params=None):
+        if weight_decay and params is None:
+            raise ValueError("came with weight_decay needs params")
+        count = state.count + 1
+
+        def one(g, m, vr, vc, ur, uc):
+            g = g.astype(jnp.float32)
+            g2 = g * g + eps1
+            if factored(g):
+                vr = b2 * vr + (1 - b2) * jnp.mean(g2, axis=-1)
+                vc = b2 * vc + (1 - b2) * jnp.mean(g2, axis=-2)
+                u = g * rsqrt_approx(vr, vc)
+            else:
+                vr = b2 * vr + (1 - b2) * g2
+                u = g * jax.lax.rsqrt(vr)
+            # RMS clip (Adafactor's d-threshold), then momentum
+            rms = jnp.sqrt(jnp.mean(u * u) + 1e-38)
+            u = u / jnp.maximum(1.0, rms / clip_threshold)
+            m = b1 * m + (1 - b1) * u
+            if factored(g):
+                inst = (u - m) ** 2 + eps2
+                ur = b3 * ur + (1 - b3) * jnp.mean(inst, axis=-1)
+                uc = b3 * uc + (1 - b3) * jnp.mean(inst, axis=-2)
+                step = m * rsqrt_approx(ur, uc)
+            else:
+                step = m
+            return step, m, vr, vc, ur, uc
+
+        flat_g, treedef = jax.tree.flatten(grads)
+        flat = [
+            one(g, m, vr, vc, ur, uc)
+            for g, m, vr, vc, ur, uc in zip(
+                flat_g,
+                treedef.flatten_up_to(state.m),
+                treedef.flatten_up_to(state.vr),
+                treedef.flatten_up_to(state.vc),
+                treedef.flatten_up_to(state.ur),
+                treedef.flatten_up_to(state.uc),
+            )
+        ]
+        unflat = lambda i: jax.tree.unflatten(treedef, [f[i] for f in flat])
+        steps = unflat(0)
+        lr = learning_rate(count) if callable(learning_rate) else learning_rate
+        if weight_decay:
+            steps = jax.tree.map(
+                lambda s, p: s + weight_decay * p.astype(jnp.float32), steps, params
+            )
+        updates = jax.tree.map(lambda s, g: (-lr * s).astype(g.dtype), steps, grads)
+        new_state = CameState(count, unflat(1), unflat(2), unflat(3), unflat(4), unflat(5))
+        return updates, new_state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     name: str,
     lr_schedule: optax.Schedule,
     *,
     betas: tuple[float, float] = (0.9, 0.95),
+    beta3: float = 0.9999,
     eps: float = 1e-8,
     weight_decay: float = 1e-4,
     max_grad_norm: float | None = 1.0,
@@ -97,9 +224,9 @@ def make_optimizer(
         opt = prodigy(learning_rate=lr_schedule, betas=betas, eps=eps,
                       weight_decay=weight_decay)
     elif name == "came":
-        # CAME's confidence-guided second moment ~ factored adafactor family.
-        opt = optax.adafactor(lr_schedule, min_dim_size_to_factor=128,
-                              decay_rate=betas[1], weight_decay_rate=weight_decay)
+        # reference pins eps=(1e-30, 1e-16) (optimizer_utils.py:150)
+        opt = came(lr_schedule, b1=betas[0], b2=betas[1], b3=beta3,
+                   weight_decay=weight_decay)
     else:
         raise ValueError(f"unsupported optimizer: {name}")
 

@@ -245,7 +245,7 @@ class Trainer:
         )
         self.optimizer = make_optimizer(
             args.optimizer, lr,
-            betas=(args.beta1, args.beta2), eps=args.epsilon,
+            betas=(args.beta1, args.beta2), beta3=args.beta3, eps=args.epsilon,
             weight_decay=args.weight_decay, max_grad_norm=args.max_grad_norm,
         )
         if args.gradient_accumulation_steps > 1:

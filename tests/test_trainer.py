@@ -218,6 +218,24 @@ def test_stage1_loss_decreases(data_dir, tmp_path):
     )
 
 
+def test_stage1_came_optimizer_fit(data_dir, tmp_path):
+    """Full fit() with the native CAME optimizer (reference: came_pytorch via
+    optimizer_utils.py:138-153) — factored state must survive the jitted
+    step, checkpointing, and produce finite decreasing-ish losses."""
+    args = _base_args(
+        data_dir, tmp_path / "came", optimizer="came", train_steps=3,
+        checkpointing_steps=2, learning_rate=1e-3,
+    )
+    trainer = DOVES1Trainer(args)
+    trainer.fit()
+    log = [
+        json.loads(l)
+        for l in (tmp_path / "came" / "train_log.jsonl").read_text().splitlines()
+    ]
+    assert log and all(np.isfinite(r["loss"]) for r in log)
+    assert (tmp_path / "came" / "checkpoint-2").exists()
+
+
 def test_stage2_sft_image_video(data_dir, tmp_path):
     out = tmp_path / "s2"
     args = _base_args(
