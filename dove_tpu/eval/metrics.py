@@ -125,6 +125,10 @@ def get_metric(name: str) -> Callable:
         from dove_tpu.eval.clip import clipiqa_metric
 
         return clipiqa_metric()
+    if name == "niqe":
+        from dove_tpu.eval.niqe import niqe_metric
+
+        return niqe_metric()
     if name in ("ewarp", "e*warp", "warping_error"):
         import os
 

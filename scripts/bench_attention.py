@@ -257,6 +257,94 @@ def variant_fwd(q, k, v, scale, block_q, block_k, vones, ksplit):
     return out[:, :sq]
 
 
+def _kernel_diag(
+    q_ref, k_ref, v_ref, o_ref, acc_scr, l_scr,
+    *, scale, kv_len, block_k, do_exp, do_mask, do_sum, wide,
+):
+    """Diagnostic ablation kernel: switch each non-MXU stage off to see its
+    cost. wide=True uses the zero-padded ones-column trick: V is [bk, 128]
+    with col 64 = 1 for real rows / 0 for padded rows, so the PV matmul
+    computes acc AND the rowsum AND the tail mask for free."""
+    kj = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        if do_sum:
+            l_scr[:] = jnp.zeros_like(l_scr)
+
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * (scale * 1.4426950408889634)
+    if do_mask and kv_len % block_k:
+        col = kj * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, -jnp.inf)
+    p = jnp.exp2(s) if do_exp else s
+    acc_scr[:] += jax.lax.dot(
+        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
+    )
+    if do_sum:
+        l_scr[:] = l_scr[:] + jnp.broadcast_to(
+            jnp.sum(p, axis=-1, keepdims=True), l_scr.shape
+        )
+
+    @pl.when(kj == nk - 1)
+    def _finish():
+        if wide:
+            o_ref[0] = (acc_scr[:, :64] / acc_scr[:, 64:65]).astype(o_ref.dtype)
+        elif do_sum:
+            o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+        else:
+            o_ref[0] = acc_scr[:].astype(o_ref.dtype)
+
+
+def diag_fwd(q, k, v, scale, block_q, block_k,
+             do_exp=True, do_mask=True, do_sum=True, wide=False):
+    bh, sq, d = q.shape
+    kv_len = k.shape[1]
+    qp = _pad_to(q, 1, block_q)
+    kp = _pad_to(k, 1, block_k)
+    vp = _pad_to(v, 1, block_k)
+    if wide:
+        # ones at col d for REAL rows, zero on padded rows: padded K columns
+        # (zero K -> logit 0 -> p=1) then contribute 0 to both acc and sum.
+        real = (jnp.arange(vp.shape[1]) < kv_len).astype(vp.dtype)
+        cols = jnp.zeros((vp.shape[0], vp.shape[1], LANES - d), vp.dtype)
+        cols = cols.at[:, :, 0].set(real[None, :])
+        vp = jnp.concatenate([vp, cols], axis=-1)
+        do_mask, do_sum = False, False
+    nq = qp.shape[1] // block_q
+    nk = kp.shape[1] // block_k
+    d_out = vp.shape[-1]
+
+    kernel = functools.partial(
+        _kernel_diag, scale=scale, kv_len=kv_len, block_k=block_k,
+        do_exp=do_exp, do_mask=do_mask, do_sum=do_sum, wide=wide,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d_out), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, qp.shape[1], d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d_out), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(qp, kp, vp)
+    return out[:, :sq]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sq", type=int, default=18226)
@@ -316,6 +404,20 @@ def main():
         report("full8", jax.jit(functools.partial(
             qk8_fwd, scale=scale, block_q=args.block_q,
             block_k=args.block_k, pv8=True)))
+
+    # diagnostic ablations: cost of each non-MXU stage
+    for name, kw in (
+        ("mxu", dict(do_exp=False, do_mask=False, do_sum=False)),   # pure 2-matmul bound
+        ("exp", dict(do_exp=True, do_mask=False, do_sum=False)),    # + exp2
+        ("expmask", dict(do_exp=True, do_mask=True, do_sum=False)), # + tail mask
+        ("full", dict(do_exp=True, do_mask=True, do_sum=True)),     # == base math
+        ("wide", dict(wide=True)),                                  # ones-col, maskless
+    ):
+        if name not in which:
+            continue
+        report(name, jax.jit(functools.partial(
+            diag_fwd, scale=scale, block_q=args.block_q,
+            block_k=args.block_k, **kw)))
 
 
 if __name__ == "__main__":

@@ -4,7 +4,8 @@
 Mirrors the reference /root/reference/eval_metrics.py surface: match pred/GT
 samples by filename stem, crop to common resolution (top-left or center),
 compute full-reference (psnr/ssim/lpips/dists) and no-reference metrics
-per sample, write per-sample + average JSON.
+(clipiqa via DOVE_CLIP_WEIGHTS, niqe via DOVE_NIQE_PARAMS) per sample,
+write per-sample + average JSON.
 
     python scripts/eval_metrics.py --pred_dir results/UDM10 \
         --gt_dir datasets/UDM10/GT --metrics psnr,ssim \
