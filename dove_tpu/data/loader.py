@@ -47,6 +47,11 @@ class PrefetchLoader:
       num_workers: prefetch threads; 0 = synchronous in-loop loading.
       prefetch: max ready batches buffered ahead.
       drop_last: drop the trailing partial batch.
+      process_shard: (process_index, process_count) for multi-host training —
+        every process builds the SAME global batch order (shared seed) and
+        keeps only its slice of each batch, the DistributedSampler analog
+        (reference: torch DistributedSampler via accelerate). Requires the
+        batch size to divide evenly.
     """
 
     def __init__(
@@ -60,6 +65,7 @@ class PrefetchLoader:
         prefetch: int = 2,
         drop_last: bool = True,
         seed: int = 0,
+        process_shard: tuple[int, int] = (0, 1),
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -69,6 +75,7 @@ class PrefetchLoader:
         self.prefetch = max(prefetch, 1)
         self.drop_last = drop_last
         self.seed = seed
+        self.process_shard = process_shard
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -78,16 +85,32 @@ class PrefetchLoader:
 
     def _batches(self) -> list[list[int]]:
         if self.sampler is not None:
-            return [list(b) for b in self.sampler]
-        order = np.arange(len(self.dataset))
-        if self.shuffle:
-            np.random.default_rng((self.seed, self._epoch)).shuffle(order)
-        batches = [
-            [int(i) for i in order[s : s + self.batch_size]]
-            for s in range(0, len(order), self.batch_size)
-        ]
-        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
-            batches.pop()
+            batches = [list(b) for b in self.sampler]
+        else:
+            order = np.arange(len(self.dataset))
+            if self.shuffle:
+                np.random.default_rng((self.seed, self._epoch)).shuffle(order)
+            batches = [
+                [int(i) for i in order[s : s + self.batch_size]]
+                for s in range(0, len(order), self.batch_size)
+            ]
+            if (
+                self.drop_last and batches
+                and len(batches[-1]) < self.batch_size
+            ):
+                batches.pop()
+        pid, nproc = self.process_shard
+        if nproc > 1:
+            local = []
+            for b in batches:
+                if len(b) % nproc:
+                    raise ValueError(
+                        f"batch of {len(b)} not divisible by "
+                        f"process_count {nproc}"
+                    )
+                k = len(b) // nproc
+                local.append(b[pid * k : (pid + 1) * k])
+            return local
         return batches
 
     def __len__(self) -> int:

@@ -210,12 +210,15 @@ class Trainer:
                 image_manifest=args.image_column,
                 **common,
             )
+        # Multi-host: identical global batch order everywhere (shared seed),
+        # each process loads only its slice (parallel/distributed.py).
         self.loader = PrefetchLoader(
             self.dataset,
             batch_size=args.batch_size,
             num_workers=args.num_workers,
             drop_last=True,
             seed=args.seed or 0,
+            process_shard=(jax.process_index(), jax.process_count()),
         )
 
     # ------------------------------------------------------------------
@@ -328,6 +331,8 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _device_batch(self, batch: dict[str, Any]) -> dict[str, jnp.ndarray]:
+        from dove_tpu.parallel.distributed import put_global
+
         bs = mesh_mod.batch_sharding(self.mesh)
         out = {}
         B = next(
@@ -340,11 +345,11 @@ class Trainer:
             emb = np.stack(embs)
         else:
             emb = embs
-        out["prompt_embeds"] = jax.device_put(np.asarray(emb, np.float32), bs)
+        out["prompt_embeds"] = put_global(np.asarray(emb, np.float32), bs)
         for k in ("hq_video", "lq_video", "hq_image", "lq_image",
                   "hq_latent", "lq_latent"):
             if k in batch and isinstance(batch[k], np.ndarray):
-                out[k] = jax.device_put(batch[k].astype(np.float32), bs)
+                out[k] = put_global(batch[k].astype(np.float32), bs)
         return out
 
     # ------------------------------------------------------------------
@@ -352,11 +357,14 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def fit(self) -> None:
+        from dove_tpu.parallel.distributed import is_main_process
+
         args = self.args
         args.output_dir.mkdir(parents=True, exist_ok=True)
-        args.dump_yaml(args.output_dir / "args.yaml")
-        self._log_file = open(args.output_dir / "train_log.jsonl", "a")
-        if args.report_to in ("tensorboard", "all"):
+        if is_main_process():
+            args.dump_yaml(args.output_dir / "args.yaml")
+            self._log_file = open(args.output_dir / "train_log.jsonl", "a")
+        if is_main_process() and args.report_to in ("tensorboard", "all"):
             try:
                 from torch.utils.tensorboard import SummaryWriter
 
@@ -503,12 +511,17 @@ class Trainer:
             pass
 
     def save(self, step: int) -> None:
+        from dove_tpu.parallel.distributed import is_main_process
+
         state = {
             "trainable": self.trainable_params(),
             "opt_state": self.opt_state,
         }
+        # orbax save is COLLECTIVE in multi-host (every process contributes
+        # its addressable shards); only rotation is main-process-only.
         path = ckpt_mod.save_checkpoint(
-            self.args.output_dir, step, state, limit=self.args.checkpointing_limit
+            self.args.output_dir, step, state,
+            limit=self.args.checkpointing_limit if is_main_process() else None,
         )
         logger.info("saved checkpoint %s", path)
 

@@ -36,10 +36,13 @@ def main() -> None:
         # accelerate/NCCL analog): one process per host, XLA collectives
         # ride ICI within a slice and DCN across slices. Coordinator and
         # process ids come from the TPU runtime environment (GKE/queued
-        # resources) or the standard JAX_COORDINATOR_* variables.
+        # resources), the standard JAX_COORDINATOR_* variables, or
+        # DOVE_COORDINATOR / DOVE_NUM_PROCESSES / DOVE_PROCESS_ID.
         import jax
 
-        jax.distributed.initialize()
+        from dove_tpu.parallel.distributed import init_distributed
+
+        init_distributed()
         logging.info(
             "multihost: process %d/%d, %d local / %d global devices",
             jax.process_index(), jax.process_count(),
