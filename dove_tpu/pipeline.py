@@ -51,10 +51,9 @@ class DovePipeline:
     output_uint8: bool = False  # staged path: skip the uint8->f32 roundtrip
     # int8 serving mode: per-channel int8 weights + dynamic per-tensor int8
     # activations on the MXU (ops/quant.py). Besides the ~1.3-1.5x MXU rate,
-    # halving the resident DiT (10.4 -> 5.2 GB on the 5B) frees enough HBM
-    # for the staged path to drop spatial VAE tiling entirely: full-spatial
-    # temporal-chunked encode/decode -> zero feather-overlap recompute and
-    # zero seams. Opt-in; the bf16 path remains the bit-parity reference.
+    # halving the resident DiT (10.4 -> 5.2 GB on the 5B) buys ~2x-area VAE
+    # windows (46x42 latents), cutting feather-overlap recompute to ~1.09x.
+    # Opt-in; the bf16 path remains the bit-parity reference.
     quantize: str | None = None
 
     def __post_init__(self):
@@ -257,9 +256,15 @@ class DovePipeline:
         # tiles -> fewer tiles -> less redundant feather compute.
         BLEND_LAT = 2
         if self.quantize:
-            enc_max_lat, dec_max_lat = 40, 40
+            # int8 halves the resident DiT (10.4 -> 5.2 GB), buying 46-latent
+            # tiles: a 720p clip (90x160 latent) plans 2x4 windows of 46x42
+            # (1.09x redundant compute) instead of 3x5 of 32x34 (1.13x), and
+            # decoder temps stay ~8.7 GB (measured-linear in tile area from
+            # the 2.6 GB @ 24x24 bf16 point).
+            (enc_max_h, enc_max_w) = (dec_max_h, dec_max_w) = (46, 42)
         else:
-            enc_max_lat, dec_max_lat = 32, 28
+            enc_max_h = enc_max_w = 32
+            dec_max_h = dec_max_w = 28
 
         def enc_all(params, lq):
             """Upscale + window + encode + feather-assemble, ONE program.
@@ -273,8 +278,8 @@ class DovePipeline:
                 lq.astype(jnp.float32), (B, F, Hu, Wu, 3), "bilinear"
             ).astype(lq.dtype)
             lat_h, lat_w = Hu // s, Wu // s
-            tile_h, stride_h, n_rows = self._plan_axis(lat_h, BLEND_LAT, enc_max_lat)
-            tile_w, stride_w, n_cols = self._plan_axis(lat_w, BLEND_LAT, enc_max_lat)
+            tile_h, stride_h, n_rows = self._plan_axis(lat_h, BLEND_LAT, enc_max_h)
+            tile_w, stride_w, n_cols = self._plan_axis(lat_w, BLEND_LAT, enc_max_w)
             if n_rows == 1 and n_cols == 1:
                 return vae_mod.encode_moments(cfg.vae, params, up)
             th, tw = tile_h * s, tile_w * s
@@ -310,8 +315,8 @@ class DovePipeline:
             program. z: [1, F', h, w, C] (unscaled latent); returns
             [F, H, W, 3] uint8."""
             B, Fl, zh, zw, C = z.shape
-            tile_h, stride_h, n_rows = self._plan_axis(zh, BLEND_LAT, dec_max_lat)
-            tile_w, stride_w, n_cols = self._plan_axis(zw, BLEND_LAT, dec_max_lat)
+            tile_h, stride_h, n_rows = self._plan_axis(zh, BLEND_LAT, dec_max_h)
+            tile_w, stride_w, n_cols = self._plan_axis(zw, BLEND_LAT, dec_max_w)
             if n_rows == 1 and n_cols == 1:
                 pixels = vae_mod.decode(cfg.vae, params, z)[0]
             else:

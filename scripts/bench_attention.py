@@ -274,10 +274,34 @@ def _kernel_diag(
         if do_sum:
             l_scr[:] = jnp.zeros_like(l_scr)
 
+    if wide == "qkonly":
+        s = jax.lax.dot_general(
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[:, :64] += s[:, :64]  # consume s cheaply; no PV matmul
+        @pl.when(kj == nk - 1)
+        def _fin_qk():
+            o_ref[0] = acc_scr[:, :64].astype(o_ref.dtype)
+        return
+    if wide == "pvonly":
+        p = jnp.broadcast_to(
+            q_ref[0, :, :1], (q_ref.shape[1], block_k)
+        ).astype(v_ref.dtype)  # stand-in P with no QK^T
+        acc_scr[:, :64] += jax.lax.dot(
+            p, v_ref[0][:, :64], preferred_element_type=jnp.float32
+        )
+        @pl.when(kj == nk - 1)
+        def _fin_pv():
+            o_ref[0] = acc_scr[:, :64].astype(o_ref.dtype)
+        return
+
     s = jax.lax.dot_general(
         q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * (scale * 1.4426950408889634)
+        preferred_element_type=(
+            jnp.bfloat16 if wide == "bf16logits" else jnp.float32
+        ),
+    ).astype(jnp.float32) * (scale * 1.4426950408889634)
     if do_mask and kv_len % block_k:
         col = kj * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_len, s, -jnp.inf)
@@ -292,7 +316,7 @@ def _kernel_diag(
 
     @pl.when(kj == nk - 1)
     def _finish():
-        if wide:
+        if wide is True:
             o_ref[0] = (acc_scr[:, :64] / acc_scr[:, 64:65]).astype(o_ref.dtype)
         elif do_sum:
             o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
@@ -307,7 +331,7 @@ def diag_fwd(q, k, v, scale, block_q, block_k,
     qp = _pad_to(q, 1, block_q)
     kp = _pad_to(k, 1, block_k)
     vp = _pad_to(v, 1, block_k)
-    if wide:
+    if wide is True:
         # ones at col d for REAL rows, zero on padded rows: padded K columns
         # (zero K -> logit 0 -> p=1) then contribute 0 to both acc and sum.
         real = (jnp.arange(vp.shape[1]) < kv_len).astype(vp.dtype)
@@ -412,6 +436,9 @@ def main():
         ("expmask", dict(do_exp=True, do_mask=True, do_sum=False)), # + tail mask
         ("full", dict(do_exp=True, do_mask=True, do_sum=True)),     # == base math
         ("wide", dict(wide=True)),                                  # ones-col, maskless
+        ("qkonly", dict(wide="qkonly")),                            # QK^T matmul alone
+        ("pvonly", dict(wide="pvonly")),                            # PV matmul alone
+        ("bf16logits", dict(wide="bf16logits")),                    # bf16 logits egress
     ):
         if name not in which:
             continue

@@ -48,10 +48,13 @@ def normalize_inputs(pred_dir: Path, work_dir: Path, fps: int) -> Path:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("tool", choices=["dover", "ewarp", "vbench"])
+    ap.add_argument(
+        "tool", choices=["dover", "ewarp", "vbench", "fastervqa"]
+    )
     ap.add_argument("--pred_dir", required=True)
     ap.add_argument("--tool_dir", required=True,
-                    help="external checkout of DOVER / RAFT / VBench")
+                    help="external checkout of DOVER / RAFT / VBench / "
+                         "FAST-VQA-and-FasterVQA")
     ap.add_argument("--ckpt", default=None, help="model checkpoint (ewarp)")
     ap.add_argument("--fps", type=int, default=16)
     ap.add_argument("--output", default=None)
@@ -77,6 +80,14 @@ def main() -> None:
             cmd = [
                 sys.executable, "ewarp.py", "--video_dir", str(videos),
             ] + (["--model", args.ckpt] if args.ckpt else [])
+        elif args.tool == "fastervqa":
+            # published DOVE tables report FasterVQA; the reference README
+            # leaves its script as a TODO (README.md:264). Upstream
+            # FAST-VQA-and-FasterVQA ships a folder runner:
+            cmd = [
+                sys.executable, "vqa.py", "-d", str(videos),
+                "-o", "FasterVQA",
+            ]
         else:  # vbench
             cmd = [
                 sys.executable, "evaluate.py", "--videos_path", str(videos),
