@@ -70,6 +70,8 @@ def build_pipeline(preset: str, vae_tiling: bool = True, quantize: str | None = 
         vae_tiling=vae_tiling,
         quantize=quantize,
         output_uint8=vae_tiling,  # measure through to the writable artifact
+        # the written artifact is a yuv420 mp4: pull planar I420 (half bytes)
+        output_i420=vae_tiling,
     )
 
 
@@ -89,8 +91,13 @@ def main():
     ap.add_argument("--tile_batch", type=int, default=1)
     ap.add_argument("--profile", type=str, default=None,
                     help="write a jax.profiler trace to this directory")
-    ap.add_argument("--quantize", type=str, default=None, choices=["int8"],
-                    help="bench the int8 serving mode")
+    ap.add_argument("--quantize", type=str, default="int8",
+                    choices=["int8", "none"],
+                    help="serving mode to bench. Default int8 (the "
+                         "production serving config: per-channel int8 "
+                         "weights, dynamic int8 activations, MXU int32 "
+                         "accumulation); 'none' benches the bf16 "
+                         "bit-parity path")
     args = ap.parse_args()
 
     if args.tiny:
@@ -99,7 +106,8 @@ def main():
         args.chunk_len, args.tile = 0, (0, 0)
 
     pipe = build_pipeline(
-        args.preset, vae_tiling=not args.no_vae_tiling, quantize=args.quantize
+        args.preset, vae_tiling=not args.no_vae_tiling,
+        quantize=None if args.quantize == "none" else args.quantize,
     )
 
     rng = np.random.default_rng(0)
@@ -155,6 +163,9 @@ def main():
             "stage_seconds": stage_split,  # enc/dit/dec split (staged path)
             "all_repeats_s": [round(t, 2) for t in times],
             "output_shape": list(out.shape),
+            "output_format": (
+                "i420_uint8" if out.ndim == 3 else "rgb"
+            ),
             "device": str(jax.devices()[0]),
             "preset": args.preset,
             "quantize": args.quantize,

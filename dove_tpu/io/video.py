@@ -72,6 +72,20 @@ def _to_uint8(video: np.ndarray) -> np.ndarray:
     return np.clip(video * 255.0, 0, 255).astype(np.uint8)
 
 
+def is_i420(video: np.ndarray) -> bool:
+    """Packed planar I420 clips are [F, H*3//2, W] uint8 (no channel dim)."""
+    return video.ndim == 3 and video.dtype == np.uint8
+
+
+def i420_to_rgb(video: np.ndarray) -> np.ndarray:
+    """[F, H*3//2, W] packed I420 uint8 -> [F, H, W, 3] RGB uint8 (cv2's
+    BT.601 studio-swing I420 convention, matching the device-side encoder
+    in DovePipeline)."""
+    return np.stack(
+        [cv2.cvtColor(f, cv2.COLOR_YUV2RGB_I420) for f in video]
+    )
+
+
 def save_frames_as_png(video: np.ndarray, out_dir: str | Path) -> None:
     """video: [F, H, W, 3] float [0,1]; writes 000.png, 001.png, ..."""
     out_dir = Path(out_dir)
@@ -88,14 +102,22 @@ def save_video(video: np.ndarray, out_path: str | Path, fps: int = 16) -> Path:
     """
     out_path = Path(out_path)
     out_path.parent.mkdir(parents=True, exist_ok=True)
-    frames = _to_uint8(video)
-    h, w = frames.shape[1:3]
+    if is_i420(video):
+        # packed planar YUV 4:2:0 straight from the device (pipeline
+        # output_i420) — exactly what the H.264 encoder consumes anyway
+        frames = video
+        h, w = video.shape[1] * 2 // 3, video.shape[2]
+        to_bgr = lambda f: cv2.cvtColor(f, cv2.COLOR_YUV2BGR_I420)
+    else:
+        frames = _to_uint8(video)
+        h, w = frames.shape[1:3]
+        to_bgr = lambda f: cv2.cvtColor(f, cv2.COLOR_RGB2BGR)
     for fourcc_name in ("avc1", "mp4v"):
         fourcc = cv2.VideoWriter_fourcc(*fourcc_name)
         writer = cv2.VideoWriter(str(out_path), fourcc, fps, (w, h))
         if writer.isOpened():
             for frame in frames:
-                writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+                writer.write(to_bgr(frame))
             writer.release()
             return out_path
         writer.release()

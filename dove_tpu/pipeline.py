@@ -55,6 +55,13 @@ class DovePipeline:
     # windows (46x42 latents), cutting feather-overlap recompute to ~1.09x.
     # Opt-in; the bf16 path remains the bit-parity reference.
     quantize: str | None = None
+    # Staged path: emit planar YUV 4:2:0 (I420) uint8 frames [F, H*3//2, W]
+    # instead of RGB [F, H, W, 3] — half the device->host bytes for the SAME
+    # written artifact whenever the output is a standard yuv420 mp4 (the
+    # OpenCV/H.264 default). Conversion (BT.601 studio-swing, cv2's I420
+    # convention) + 2x2 chroma averaging runs on device. Not for PNG /
+    # yuv444p / lossless outputs or when inline metrics need RGB.
+    output_i420: bool = False
 
     def __post_init__(self):
         self.schedule = Schedule.create(self.config.scheduler)
@@ -67,6 +74,11 @@ class DovePipeline:
             self.vae_params = quantize_vae(self.vae_params)
         elif self.quantize:
             raise ValueError(f"unknown quantize mode: {self.quantize}")
+        if self.output_i420 and not (self.vae_tiling and self.output_uint8):
+            raise ValueError(
+                "output_i420 requires the staged path (vae_tiling=True) "
+                "with output_uint8=True"
+            )
         # Per-clip stage wall times (staged path), accumulated across chunks;
         # reset at each process_frames call. The inter-stage barriers make
         # these accurate at zero extra cost.
@@ -345,6 +357,28 @@ class DovePipeline:
                     zh * s, zw * s,
                 )
             out01 = jnp.clip(pixels.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
+            Fp, Hp, Wp = out01.shape[:3]
+            if self.output_i420 and Hp % 2 == 0 and Wp % 2 == 0:
+                # BT.601 STUDIO-swing (Y 16-235, chroma 16-240) — cv2's
+                # I420<->BGR convention, so host-side cvtColor round-trips.
+                r, g, b = out01[..., 0], out01[..., 1], out01[..., 2]
+                ey = 0.299 * r + 0.587 * g + 0.114 * b
+                y = 16.0 + 219.0 * ey
+                u = 128.0 + (112.0 / 0.886) * (b - ey)
+                v = 128.0 + (112.0 / 0.701) * (r - ey)
+                u2 = u.reshape(Fp, Hp // 2, 2, Wp // 2, 2).mean(axis=(2, 4))
+                v2 = v.reshape(Fp, Hp // 2, 2, Wp // 2, 2).mean(axis=(2, 4))
+
+                def q(x):
+                    return jnp.round(
+                        jnp.clip(x, 0.0, 255.0)
+                    ).astype(jnp.uint8)
+
+                flat = jnp.concatenate(
+                    [q(y).reshape(Fp, -1), q(u2).reshape(Fp, -1),
+                     q(v2).reshape(Fp, -1)], axis=1,
+                )
+                return flat.reshape(Fp, Hp * 3 // 2, Wp)
             return jnp.round(out01 * 255.0).astype(jnp.uint8)
 
         def dit_step(dit_params, prompt, moments, rng):
@@ -518,14 +552,25 @@ class DovePipeline:
                     out = out[:-extra_f]
                 if pad_f:
                     out = out[:-pad_f]
-                if pad_h:
-                    out = out[:, : -pad_h * upscale]
-                if pad_w:
-                    out = out[:, :, : -pad_w * upscale]
+                if (pad_h or pad_w) and video_io.is_i420(out):
+                    Hp2 = out.shape[1] * 2 // 3
+                    out = tiling.i420_crop(
+                        out, Hp2 - pad_h * upscale,
+                        out.shape[2] - pad_w * upscale,
+                    )
+                else:
+                    if pad_h:
+                        out = out[:, : -pad_h * upscale]
+                    if pad_w:
+                        out = out[:, :, : -pad_w * upscale]
                 if _timing:
                     print(f"stage post: {time.time() - _t_post:.2f}s", flush=True)
                 return out
-            stitcher = tiling.Stitcher(3, F, H, W, effective_ot, (0, 0))
+            # even H/W guaranteed by pad_video + 4x upscale -> i420 viable
+            i420 = self.output_i420
+            Hs = H * 3 // 2 if i420 else H
+            Cs = 1 if i420 else 3
+            stitcher = tiling.Stitcher(Cs, F, Hs, W, effective_ot, (0, 0))
             for ts, te in chunks:
                 data = lq[ts:te]
                 nf = data.shape[0]
@@ -539,12 +584,19 @@ class DovePipeline:
                 out = self._sr_clip_staged(data, step_rng)[:nf]
                 if out.dtype == np.uint8:
                     out = out.astype(np.float32) / 255.0
-                stitcher.add(
-                    tiling.Tile(ts, te, 0, H, 0, W), out.transpose(3, 0, 1, 2)
-                )
+                chunk_px = out[None] if i420 else out.transpose(3, 0, 1, 2)
+                stitcher.add(tiling.Tile(ts, te, 0, Hs, 0, W), chunk_px)
             result = stitcher.finalize()
+            result = tiling.unpad_video(result, pad_f + extra_f, 0, 0)
+            if i420:
+                packed = np.clip(
+                    np.round(result[0] * 255.0), 0, 255
+                ).astype(np.uint8)
+                return tiling.i420_crop(
+                    packed, H - pad_h * upscale, W - pad_w * upscale
+                )
             result = tiling.unpad_video(
-                result, pad_f + extra_f, pad_h * upscale, pad_w * upscale
+                result, 0, pad_h * upscale, pad_w * upscale
             )
             return result.transpose(1, 2, 3, 0)
 

@@ -260,6 +260,26 @@ def pad_video(frames: np.ndarray) -> tuple[np.ndarray, tuple[int, int, int]]:
     return frames, (pad_f, pad_h, pad_w)
 
 
+def i420_crop(clip: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
+    """Top-left crop of packed planar I420 frames [F, H*3//2, W] to
+    (new_h, new_w); both must be even (4:2:0 chroma is 2x2-subsampled)."""
+    F, Hp, W = clip.shape
+    H = Hp * 2 // 3
+    if new_h == H and new_w == W:
+        return clip
+    if new_h % 2 or new_w % 2:
+        raise ValueError(f"I420 crop must be even, got {new_h}x{new_w}")
+    y = clip[:, :H, :new_w][:, :new_h]
+    u = clip[:, H : H + H // 4].reshape(F, H // 2, W // 2)
+    v = clip[:, H + H // 4 :].reshape(F, H // 2, W // 2)
+    u = u[:, : new_h // 2, : new_w // 2]
+    v = v[:, : new_h // 2, : new_w // 2]
+    flat = np.concatenate(
+        [y.reshape(F, -1), u.reshape(F, -1), v.reshape(F, -1)], axis=1
+    )
+    return flat.reshape(F, new_h * 3 // 2, new_w)
+
+
 def unpad_video(video: np.ndarray, pad_f: int, pad_h: int, pad_w: int) -> np.ndarray:
     """Crop [C, F, H, W] output; spatial pads are given in *output* pixels."""
     if pad_f:

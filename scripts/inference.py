@@ -170,6 +170,13 @@ def load_pipeline(args):
         quantize=args.quantize,
         # writers take uint8 directly; keep float when metrics need [0,1]
         output_uint8=args.is_vae_st and not args.eval_metrics,
+        # For plain mp4 output the H.264 encoder consumes yuv420 anyway, so
+        # pull planar I420 from the device (half the bytes). RGB is kept for
+        # PNG/lossless outputs and whenever inline metrics need it.
+        output_i420=(
+            args.is_vae_st and not args.eval_metrics and not args.png_save
+            and args.save_format != "lossless"
+        ),
     )
 
 

@@ -98,3 +98,92 @@ def test_plan_axis_minimal_coverage():
     assert plan(160, 2, 28) == (25, 23, 7)
     assert plan(90, 2, 40) == (32, 30, 3)
     assert plan(160, 2, 40) == (34, 32, 5)
+
+
+def test_i420_output_matches_rgb(params):
+    """Staged path with output_i420: device-side BT.601 + 2x2 chroma
+    averaging must agree with cv2's I420 conversion of the RGB output."""
+    import cv2
+
+    frames = np.random.default_rng(3).random((9, 8, 8, 3)).astype(np.float32)
+    rgb = _pipe(params, vae_tiling=True, output_uint8=True).process_frames(frames)
+    packed = _pipe(
+        params, vae_tiling=True, output_uint8=True, output_i420=True
+    ).process_frames(frames)
+    assert rgb.dtype == packed.dtype == np.uint8
+    assert rgb.shape == (9, 32, 32, 3)
+    assert packed.shape == (9, 48, 32)  # H*3//2 packed planes
+    # Oracle: same spec in NumPy — BT.601 studio-swing, 2x2 chroma MEAN
+    # (higher-quality than cv2's top-left chroma SAMPLE, so compare against
+    # the spec, not cv2, at tight tolerance).
+    f = rgb.astype(np.float64) / 255.0
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    ey = 0.299 * r + 0.587 * g + 0.114 * b
+    y = 16 + 219 * ey
+    u = 128 + (112 / 0.886) * (b - ey)
+    v = 128 + (112 / 0.701) * (r - ey)
+    Fn, H, W = y.shape
+    u2 = u.reshape(Fn, H // 2, 2, W // 2, 2).mean(axis=(2, 4))
+    v2 = v.reshape(Fn, H // 2, 2, W // 2, 2).mean(axis=(2, 4))
+    ref = np.concatenate(
+        [np.round(y).reshape(Fn, -1), np.round(u2).reshape(Fn, -1),
+         np.round(v2).reshape(Fn, -1)], axis=1,
+    ).reshape(packed.shape)
+    diff = np.abs(packed.astype(np.int16) - ref.astype(np.int16))
+    # device converts from the pre-quantization float frame; the oracle from
+    # uint8 RGB — ±1 count of propagated rounding is expected
+    assert diff.mean() < 0.6, diff.mean()
+    assert diff.max() <= 3, diff.max()
+
+    # and cv2 can round-trip the packed clip back to RGB
+    from dove_tpu.io.video import i420_to_rgb
+
+    back = i420_to_rgb(packed)
+    assert back.shape == rgb.shape
+    # random-noise frames are the chroma-subsampling worst case; natural
+    # video loses far less (4:2:0 is the H.264 default anyway)
+    assert np.abs(back.astype(np.int16) - rgb.astype(np.int16)).mean() < 8.0
+
+
+def test_i420_chunked_and_cropped(params):
+    """I420 survives temporal chunking + stitching and un-padding crops
+    (odd input sizes pad, then crop back in packed layout)."""
+    frames = np.random.default_rng(4).random((12, 23, 39, 3)).astype(np.float32)
+    pipe = _pipe(params, vae_tiling=True, output_uint8=True, output_i420=True)
+    out = pipe.process_frames(frames, chunk_len=9, overlap_t=4)
+    # 23x39 pads to 24x40 -> 96x160 out -> crop back to 92x156
+    assert out.shape == (12, 92 * 3 // 2, 156)
+    rgb = _pipe(params, vae_tiling=True, output_uint8=True).process_frames(
+        frames, chunk_len=9, overlap_t=4
+    )  # multi-chunk RGB path returns float32 [0,1]
+    rgb_u8 = np.clip(np.round(rgb * 255.0), 0, 255).astype(np.int16)
+    from dove_tpu.io.video import i420_to_rgb
+
+    back = i420_to_rgb(out)
+    assert back.shape == rgb_u8.shape
+    assert np.abs(
+        back.astype(np.int16) - rgb_u8
+    ).mean() < 8.0  # chroma subsampling cost on random noise
+
+
+def test_i420_requires_staged_uint8(params):
+    with pytest.raises(ValueError, match="output_i420"):
+        _pipe(params, output_i420=True)
+
+
+def test_i420_crop_matches_rgb_crop():
+    """tiling.i420_crop == convert(cropped RGB) for even crops."""
+    import cv2
+
+    from dove_tpu import tiling
+
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 255, (3, 48, 64, 3), np.uint8)
+    packed = np.stack([cv2.cvtColor(f, cv2.COLOR_RGB2YUV_I420) for f in rgb])
+    cropped = tiling.i420_crop(packed, 40, 56)
+    ref = np.stack(
+        [cv2.cvtColor(f[:40, :56], cv2.COLOR_RGB2YUV_I420) for f in rgb]
+    )
+    np.testing.assert_array_equal(cropped, ref)
+    with pytest.raises(ValueError, match="even"):
+        tiling.i420_crop(packed, 41, 56)
