@@ -11,6 +11,9 @@ Backends:
   * "flash": custom Pallas TPU flash attention (dove_tpu/ops/pallas), O(S)
              memory — required for 720p tiles where S ~ 18k and a naive
              logits matrix would not fit HBM.
+  * "flash-qk8": flash with per-tensor int8 QK^T on the MXU's int8 path —
+             the int8 serving mode's attention (inference-only; ~7e-3 rel
+             err, in line with that mode's W8A8 linears).
 Selection is automatic (flash on TPU for long sequences) but overridable.
 """
 
@@ -55,13 +58,14 @@ def full_attention(
     DiT's qk-layernorm guarantees this; see flash_attention docstring)."""
     if backend is None:
         backend = "flash" if (_flash_available() and q.shape[-2] >= 2048) else "xla"
-    if backend == "flash":
+    if backend in ("flash", "flash-qk8"):
         from dove_tpu.ops.pallas.flash_attention import (
             DEFAULT_BLOCK_K, DEFAULT_BLOCK_Q, flash_attention,
         )
 
         return flash_attention(
-            q, k, v, None, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K, bounded_logits
+            q, k, v, None, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K, bounded_logits,
+            backend == "flash-qk8",
         )
     if backend == "xla":
         return _naive_attention(q, k, v)

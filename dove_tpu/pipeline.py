@@ -79,6 +79,15 @@ class DovePipeline:
                 "output_i420 requires the staged path (vae_tiling=True) "
                 "with output_uint8=True"
             )
+        if self.quantize == "int8" and self.attention_backend is None:
+            # int8 serving mode: also run QK^T on the MXU's int8 path (the
+            # kernel's only remaining measured win, ~7e-3 rel err — in line
+            # with the mode's W8A8 linear layers; bf16 stays bit-parity).
+            try:
+                if jax.devices()[0].platform == "tpu":
+                    self.attention_backend = "flash-qk8"
+            except Exception:  # pragma: no cover
+                pass
         # Per-clip stage wall times (staged path), accumulated across chunks;
         # reset at each process_frames call. The inter-stage barriers make
         # these accurate at zero extra cost.

@@ -78,3 +78,31 @@ def test_flash_bf16_close():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref), atol=3e-2
     )
+
+
+@pytest.mark.parametrize("S", [226, 640])
+def test_flash_qk_int8_close_to_naive(S):
+    """int8-QK^T serving path: per-tensor 8-bit logits cost ~1e-2 output
+    error (in line with the int8 mode's W8A8 linears); inference-only."""
+    q, k, v = _rand_qkv(jax.random.PRNGKey(6), 1, 2, S, 64)
+    out = flash_attention(q, k, v, None, 256, 256, True, True)
+    ref = _naive_attention(q, k, v)
+    rel = float(
+        jnp.linalg.norm((out - ref).astype(jnp.float32))
+        / jnp.linalg.norm(ref.astype(jnp.float32))
+    )
+    assert rel < 2e-2, rel
+    assert out.dtype == v.dtype
+
+    with pytest.raises(NotImplementedError, match="inference-only"):
+        jax.grad(
+            lambda q: jnp.sum(
+                flash_attention(q, k, v, None, 256, 256, True, True)
+            )
+        )(q)
+
+
+def test_flash_qk_int8_requires_bounded():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(7), 1, 1, 226, 64)
+    with pytest.raises(ValueError, match="bounded"):
+        flash_attention(q, k, v, None, 256, 256, False, True)
