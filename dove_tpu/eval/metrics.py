@@ -129,6 +129,10 @@ def get_metric(name: str) -> Callable:
         from dove_tpu.eval.niqe import niqe_metric
 
         return niqe_metric()
+    if name == "maniqa":
+        from dove_tpu.eval.maniqa import maniqa_metric
+
+        return maniqa_metric()
     if name in ("ewarp", "e*warp", "warping_error"):
         import os
 
