@@ -575,12 +575,7 @@ class DovePipeline:
                 if _timing:
                     print(f"stage post: {time.time() - _t_post:.2f}s", flush=True)
                 return out
-            # even H/W guaranteed by pad_video + 4x upscale -> i420 viable
-            i420 = self.output_i420
-            Hs = H * 3 // 2 if i420 else H
-            Cs = 1 if i420 else 3
-            stitcher = tiling.Stitcher(Cs, F, Hs, W, effective_ot, (0, 0))
-            for ts, te in chunks:
+            def chunk_out(ts, te, rng_key):
                 data = lq[ts:te]
                 nf = data.shape[0]
                 valid_nf = tiling.next_valid_frames(nf)
@@ -589,23 +584,57 @@ class DovePipeline:
                         [data, np.repeat(data[-1:], valid_nf - nf, axis=0)],
                         axis=0,
                     )
+                return self._sr_clip_staged(data, rng_key)[:nf]
+
+            if self.output_uint8:
+                # uint8 fast path: temporal stitching is TRIM-based
+                # (write_count == 1), so chunks write straight into the
+                # preallocated output — no float roundtrip. Measured: the
+                # float Stitcher detour cost ~29 s host time on a 100-frame
+                # 720p clip (vs ~55 s of device time).
+                i420 = self.output_i420  # even dims guaranteed by padding
+                Hf = H * 3 // 2 if i420 else H
+                shape = (F, Hf, W) if i420 else (F, H, W, 3)
+                out_arr = np.empty(shape, np.uint8)
+                covered = np.zeros(F, bool)
+                for ts, te in chunks:
+                    rng, step_rng = jax.random.split(rng)
+                    out = chunk_out(ts, te, step_rng)
+                    vr = tiling.valid_region(
+                        tiling.Tile(ts, te, 0, Hf, 0, W), (F, Hf, W),
+                        effective_ot, (0, 0),
+                    )
+                    out_arr[vr.dst[0]] = out[vr.src[0]]
+                    covered[vr.dst[0]] = True
+                if not covered.all():
+                    raise RuntimeError("temporal chunk coverage gap")
+                trim = pad_f + extra_f
+                if trim:
+                    out_arr = out_arr[:-trim]
+                if pad_h or pad_w:
+                    if i420:
+                        out_arr = tiling.i420_crop(
+                            out_arr, H - pad_h * upscale, W - pad_w * upscale
+                        )
+                    else:
+                        if pad_h:
+                            out_arr = out_arr[:, : -pad_h * upscale]
+                        if pad_w:
+                            out_arr = out_arr[:, :, : -pad_w * upscale]
+                return out_arr
+
+            stitcher = tiling.Stitcher(3, F, H, W, effective_ot, (0, 0))
+            for ts, te in chunks:
                 rng, step_rng = jax.random.split(rng)
-                out = self._sr_clip_staged(data, step_rng)[:nf]
+                out = chunk_out(ts, te, step_rng)
                 if out.dtype == np.uint8:
                     out = out.astype(np.float32) / 255.0
-                chunk_px = out[None] if i420 else out.transpose(3, 0, 1, 2)
-                stitcher.add(tiling.Tile(ts, te, 0, Hs, 0, W), chunk_px)
-            result = stitcher.finalize()
-            result = tiling.unpad_video(result, pad_f + extra_f, 0, 0)
-            if i420:
-                packed = np.clip(
-                    np.round(result[0] * 255.0), 0, 255
-                ).astype(np.uint8)
-                return tiling.i420_crop(
-                    packed, H - pad_h * upscale, W - pad_w * upscale
+                stitcher.add(
+                    tiling.Tile(ts, te, 0, H, 0, W), out.transpose(3, 0, 1, 2)
                 )
+            result = stitcher.finalize()
             result = tiling.unpad_video(
-                result, 0, pad_h * upscale, pad_w * upscale
+                result, pad_f + extra_f, pad_h * upscale, pad_w * upscale
             )
             return result.transpose(1, 2, 3, 0)
 

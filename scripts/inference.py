@@ -67,7 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["yuv444p", "yuv420p", "lossless"],
         help="yuv444p/yuv420p -> best available OpenCV mp4 encode (this "
              "environment has no ffmpeg/PyAV, so CRF/pix_fmt cannot be "
-             "driven directly — reference writes x264 crf0 yuv444p); "
+             "driven directly — reference writes x264 crf0 yuv444p; the "
+             "encoder consumes yuv420, so mp4 runs pull device-side I420, "
+             "half the host-link bytes); "
              "lossless -> PNG frame directory (exact, like --png_save)",
     )
     p.add_argument("--tile_size_hw", type=int, nargs=2, default=(0, 0))

@@ -155,8 +155,16 @@ def test_i420_chunked_and_cropped(params):
     assert out.shape == (12, 92 * 3 // 2, 156)
     rgb = _pipe(params, vae_tiling=True, output_uint8=True).process_frames(
         frames, chunk_len=9, overlap_t=4
-    )  # multi-chunk RGB path returns float32 [0,1]
-    rgb_u8 = np.clip(np.round(rgb * 255.0), 0, 255).astype(np.int16)
+    )  # multi-chunk uint8 fast path
+    assert rgb.dtype == np.uint8
+    rgb_u8 = rgb.astype(np.int16)
+    # and the float path (metrics consumers) agrees with the uint8 path
+    rgb_f = _pipe(params, vae_tiling=True).process_frames(
+        frames, chunk_len=9, overlap_t=4
+    )
+    np.testing.assert_allclose(
+        rgb_f, rgb.astype(np.float32) / 255.0, atol=1 / 255 + 1e-6
+    )
     from dove_tpu.io.video import i420_to_rgb
 
     back = i420_to_rgb(out)
