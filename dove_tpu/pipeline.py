@@ -92,6 +92,7 @@ class DovePipeline:
         # reset at each process_frames call. The inter-stage barriers make
         # these accurate at zero extra cost.
         self.stage_times: dict[str, float] = {}
+        self._mesh_key = None  # cache for mesh-replicated params
 
     # ------------------------------------------------------------------
     # Device-side one-step SR for a single tile
@@ -217,18 +218,25 @@ class DovePipeline:
 
     @staticmethod
     def _feather_assemble(
-        tiles: jnp.ndarray,  # [N, F, th, tw, C]
+        tiles: jnp.ndarray,  # [N, ..., th, tw, C] (leading dims ride along)
         n_rows: int, n_cols: int,
         blend_h: int, blend_w: int,
         out_h: int, out_w: int,
     ) -> jnp.ndarray:
-        """Device-side feathered assembly of row-major tiles -> [F, H, W, C].
+        """Device-side feathered assembly of row-major tiles -> [..., H, W, C].
 
-        Static Python loops over the tile grid — cheap elementwise lerps that
-        XLA fuses; keeping assembly on device means the host only ever
-        transfers the FINAL clip (transfer bandwidth, not FLOPs, dominates on
-        tunneled TPU setups)."""
-        th, tw = tiles.shape[2], tiles.shape[3]
+        h/w are the -3/-2 axes; any leading dims (batch, frames) pass
+        through — this is what lets mesh-sharded chunk batches reuse the
+        same assembly. Static Python loops over the tile grid — cheap
+        elementwise lerps that XLA fuses; keeping assembly on device means
+        the host only ever transfers the FINAL clip (transfer bandwidth,
+        not FLOPs, dominates on tunneled TPU setups)."""
+        th, tw = tiles.shape[-3], tiles.shape[-2]
+        nd = tiles.ndim - 1  # per-tile rank
+        h_ax, w_ax = nd - 3, nd - 2
+
+        def sl(x, a, b, axis):
+            return jax.lax.slice_in_dim(x, a, b, axis=axis)
 
         def lerp(a_band, b_band, extent, axis):
             shape = [1] * b_band.ndim
@@ -247,22 +255,26 @@ class DovePipeline:
             out_row = []
             for c, tile in enumerate(row):
                 if prev_row is not None and blend_h > 0:
-                    band = lerp(prev_row[c][:, -blend_h:], tile[:, :blend_h],
-                                blend_h, 1)
-                    tile = jnp.concatenate([band, tile[:, blend_h:]], axis=1)
+                    band = lerp(sl(prev_row[c], th - blend_h, th, h_ax),
+                                sl(tile, 0, blend_h, h_ax), blend_h, h_ax)
+                    tile = jnp.concatenate(
+                        [band, sl(tile, blend_h, th, h_ax)], axis=h_ax
+                    )
                 if c > 0 and blend_w > 0:
-                    band = lerp(row[c - 1][:, :, -blend_w:],
-                                tile[:, :, :blend_w], blend_w, 2)
-                    tile = jnp.concatenate([band, tile[:, :, blend_w:]], axis=2)
+                    band = lerp(sl(row[c - 1], tw - blend_w, tw, w_ax),
+                                sl(tile, 0, blend_w, w_ax), blend_w, w_ax)
+                    tile = jnp.concatenate(
+                        [band, sl(tile, blend_w, tw, w_ax)], axis=w_ax
+                    )
                 # interior tiles place `stride` px; the LAST row/col keeps its
                 # full extent so minimal-coverage plans need no extra tile
                 h_keep = th if r == n_rows - 1 else row_limit_h
                 w_keep = tw if c == n_cols - 1 else row_limit_w
-                out_row.append(tile[:, :h_keep, :w_keep])
-            result_rows.append(jnp.concatenate(out_row, axis=2))
+                out_row.append(sl(sl(tile, 0, h_keep, h_ax), 0, w_keep, w_ax))
+            result_rows.append(jnp.concatenate(out_row, axis=w_ax))
             prev_row = row
-        out = jnp.concatenate(result_rows, axis=1)
-        return out[:, :out_h, :out_w]
+        out = jnp.concatenate(result_rows, axis=h_ax)
+        return sl(sl(out, 0, out_h, h_ax), 0, out_w, w_ax)
 
     def _staged_fns(self):
         if self._staged:
@@ -320,26 +332,25 @@ class DovePipeline:
                 tile = jax.lax.dynamic_slice(
                     up, (0, 0, ij[0], ij[1], 0), (B, F, th, tw, 3)
                 )
-                return vae_mod.encode_moments(cfg.vae, params, tile)[0]
+                return vae_mod.encode_moments(cfg.vae, params, tile)
 
-            tiles = jax.lax.map(one, coords)
-            moments = self._feather_assemble(
+            tiles = jax.lax.map(one, coords)  # [N, B, F', th, tw, 2C]
+            return self._feather_assemble(
                 tiles, n_rows, n_cols,
                 BLEND_LAT if n_rows > 1 else 0,
                 BLEND_LAT if n_cols > 1 else 0,
                 lat_h, lat_w,
             )
-            return moments[None]
 
         def dec_all(params, z):
             """Window + decode + feather-assemble + uint8 quantize, ONE
-            program. z: [1, F', h, w, C] (unscaled latent); returns
-            [F, H, W, 3] uint8."""
+            program. z: [B, F', h, w, C] (unscaled latent); returns
+            [B, F, H, W, 3] uint8 (or packed I420 [B, F, H*3//2, W])."""
             B, Fl, zh, zw, C = z.shape
             tile_h, stride_h, n_rows = self._plan_axis(zh, BLEND_LAT, dec_max_h)
             tile_w, stride_w, n_cols = self._plan_axis(zw, BLEND_LAT, dec_max_w)
             if n_rows == 1 and n_cols == 1:
-                pixels = vae_mod.decode(cfg.vae, params, z)[0]
+                pixels = vae_mod.decode(cfg.vae, params, z)
             else:
                 cover_h = (n_rows - 1) * stride_h + tile_h
                 cover_w = (n_cols - 1) * stride_w + tile_w
@@ -353,12 +364,12 @@ class DovePipeline:
                     tile = jax.lax.dynamic_slice(
                         zp, (0, 0, ij[0], ij[1], 0), (B, Fl, tile_h, tile_w, C)
                     )
-                    return vae_mod.decode(cfg.vae, params, tile)[0]
+                    return vae_mod.decode(cfg.vae, params, tile)
 
                 tiles = jax.lax.map(one, jnp.asarray(
                     [(r * stride_h, c * stride_w)
                      for r in range(n_rows) for c in range(n_cols)], jnp.int32
-                ))
+                ))  # [N, B, F, th*s, tw*s, 3]
                 pixels = self._feather_assemble(
                     tiles, n_rows, n_cols,
                     (BLEND_LAT if n_rows > 1 else 0) * s,
@@ -366,7 +377,7 @@ class DovePipeline:
                     zh * s, zw * s,
                 )
             out01 = jnp.clip(pixels.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
-            Fp, Hp, Wp = out01.shape[:3]
+            Bp, Fp, Hp, Wp = out01.shape[:4]
             if self.output_i420 and Hp % 2 == 0 and Wp % 2 == 0:
                 # BT.601 STUDIO-swing (Y 16-235, chroma 16-240) — cv2's
                 # I420<->BGR convention, so host-side cvtColor round-trips.
@@ -375,8 +386,8 @@ class DovePipeline:
                 y = 16.0 + 219.0 * ey
                 u = 128.0 + (112.0 / 0.886) * (b - ey)
                 v = 128.0 + (112.0 / 0.701) * (r - ey)
-                u2 = u.reshape(Fp, Hp // 2, 2, Wp // 2, 2).mean(axis=(2, 4))
-                v2 = v.reshape(Fp, Hp // 2, 2, Wp // 2, 2).mean(axis=(2, 4))
+                u2 = u.reshape(Bp, Fp, Hp // 2, 2, Wp // 2, 2).mean(axis=(3, 5))
+                v2 = v.reshape(Bp, Fp, Hp // 2, 2, Wp // 2, 2).mean(axis=(3, 5))
 
                 def q(x):
                     return jnp.round(
@@ -384,10 +395,10 @@ class DovePipeline:
                     ).astype(jnp.uint8)
 
                 flat = jnp.concatenate(
-                    [q(y).reshape(Fp, -1), q(u2).reshape(Fp, -1),
-                     q(v2).reshape(Fp, -1)], axis=1,
+                    [q(y).reshape(Bp, Fp, -1), q(u2).reshape(Bp, Fp, -1),
+                     q(v2).reshape(Bp, Fp, -1)], axis=2,
                 )
-                return flat.reshape(Fp, Hp * 3 // 2, Wp)
+                return flat.reshape(Bp, Fp, Hp * 3 // 2, Wp)
             return jnp.round(out01 * 255.0).astype(jnp.uint8)
 
         def dit_step(dit_params, prompt, moments, rng):
@@ -450,7 +461,7 @@ class DovePipeline:
         if timing:
             print(f"stage dit: {t2 - t1:.2f}s", flush=True)
 
-        out_u8 = self._parallel_get(fns["dec_all"](self.vae_params, z))
+        out_u8 = self._parallel_get(fns["dec_all"](self.vae_params, z))[0]
         t3 = time.time()
         self.stage_times["dec"] = self.stage_times.get("dec", 0.0) + (t3 - t2)
         if timing:
@@ -458,6 +469,59 @@ class DovePipeline:
         if self.output_uint8:
             return out_u8  # writers accept uint8 directly
         return out_u8.astype(np.float32) / 255.0
+
+    def _staged_mesh_params(self, mesh):
+        """Replicate weights + prompt over a serving mesh (cached per mesh)."""
+        if self._mesh_key is mesh:
+            return self._mesh_params
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        self._mesh_params = (
+            jax.device_put(self.vae_params, rep),
+            jax.device_put(self.dit_params, rep),
+            jax.device_put(self.prompt_embedding, rep),
+        )
+        self._mesh_key = mesh
+        return self._mesh_params
+
+    def _sr_chunk_batch_staged(
+        self, batch: np.ndarray, rng: jax.Array, mesh
+    ) -> np.ndarray:
+        """Temporal chunks in PARALLEL across a mesh's "data" axis.
+
+        batch: [B, F, H, W, 3] np float32 in [-1, 1] (B chunks, same
+        length); chunks are independent, so each chip runs the identical
+        staged programs on its own chunk — zero model-internal collectives,
+        wall time ~ one chunk. Returns the stacked uint8/I420 outputs."""
+        import os
+
+        timing = bool(os.environ.get("DOVE_STAGE_TIMING"))
+        t0 = time.time()
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        fns = self._staged_fns()
+        vae_p, dit_p, prompt = self._staged_mesh_params(mesh)
+        lq = jax.device_put(
+            jnp.asarray(batch, self.dtype), NamedSharding(mesh, P("data"))
+        )
+        moments = fns["enc_all"](vae_p, lq)
+        self._barrier(moments)
+        t1 = time.time()
+        self.stage_times["enc"] = self.stage_times.get("enc", 0.0) + (t1 - t0)
+        z = fns["dit"](dit_p, prompt, moments, rng)
+        self._barrier(z)
+        t2 = time.time()
+        self.stage_times["dit"] = self.stage_times.get("dit", 0.0) + (t2 - t1)
+        out = self._parallel_get(fns["dec_all"](vae_p, z))
+        t3 = time.time()
+        self.stage_times["dec"] = self.stage_times.get("dec", 0.0) + (t3 - t2)
+        if timing:
+            print(
+                f"mesh batch({batch.shape[0]}): enc {t1 - t0:.2f}s "
+                f"dit {t2 - t1:.2f}s dec {t3 - t2:.2f}s", flush=True,
+            )
+        return out
 
     def compiled_sr(self, shape: tuple) -> Callable:
         """jit-compiled sr_tile for a given [B, F, H, W, 3] tile shape."""
@@ -575,7 +639,7 @@ class DovePipeline:
                 if _timing:
                     print(f"stage post: {time.time() - _t_post:.2f}s", flush=True)
                 return out
-            def chunk_out(ts, te, rng_key):
+            def chunk_data(ts, te):
                 data = lq[ts:te]
                 nf = data.shape[0]
                 valid_nf = tiling.next_valid_frames(nf)
@@ -584,7 +648,56 @@ class DovePipeline:
                         [data, np.repeat(data[-1:], valid_nf - nf, axis=0)],
                         axis=0,
                     )
+                return data, nf
+
+            def chunk_out(ts, te, rng_key):
+                data, nf = chunk_data(ts, te)
                 return self._sr_clip_staged(data, rng_key)[:nf]
+
+            n_par = mesh.shape.get("data", 1) if mesh is not None else 1
+            if self.output_uint8 and n_par > 1 and len(chunks) > 1:
+                # Multi-chip serving of the production path: temporal chunks
+                # shard over the mesh's "data" axis (uniform chunk plan ->
+                # one geometry -> one compile). An N-chip mesh cuts a long
+                # clip's wall time ~N-fold.
+                i420 = self.output_i420
+                Hf = H * 3 // 2 if i420 else H
+                shape = (F, Hf, W) if i420 else (F, H, W, 3)
+                out_arr = np.empty(shape, np.uint8)
+                covered = np.zeros(F, bool)
+                for g0 in range(0, len(chunks), n_par):
+                    group = chunks[g0 : g0 + n_par]
+                    datas = [chunk_data(ts, te)[0] for ts, te in group]
+                    real = len(datas)
+                    while len(datas) < n_par:  # pad the tail group
+                        datas.append(datas[-1])
+                    rng, step_rng = jax.random.split(rng)
+                    outs = self._sr_chunk_batch_staged(
+                        np.stack(datas), step_rng, mesh
+                    )
+                    for (ts, te), out in zip(group, outs[:real]):
+                        vr = tiling.valid_region(
+                            tiling.Tile(ts, te, 0, Hf, 0, W), (F, Hf, W),
+                            effective_ot, (0, 0),
+                        )
+                        out_arr[vr.dst[0]] = out[: te - ts][vr.src[0]]
+                        covered[vr.dst[0]] = True
+                if not covered.all():
+                    raise RuntimeError("temporal chunk coverage gap")
+                trim = pad_f + extra_f
+                if trim:
+                    out_arr = out_arr[:-trim]
+                if pad_h or pad_w:
+                    if i420:
+                        out_arr = tiling.i420_crop(
+                            out_arr, H - pad_h * upscale, W - pad_w * upscale
+                        )
+                    else:
+                        if pad_h:
+                            out_arr = out_arr[:, : -pad_h * upscale]
+                        if pad_w:
+                            out_arr = out_arr[:, :, : -pad_w * upscale]
+                return out_arr
 
             if self.output_uint8:
                 # uint8 fast path: temporal stitching is TRIM-based

@@ -195,3 +195,36 @@ def test_i420_crop_matches_rgb_crop():
     np.testing.assert_array_equal(cropped, ref)
     with pytest.raises(ValueError, match="even"):
         tiling.i420_crop(packed, 41, 56)
+
+
+def test_staged_mesh_chunk_parallel_matches_sequential(params):
+    """Production-path multi-chip serving: temporal chunks sharded over the
+    mesh "data" axis must produce BIT-IDENTICAL output to the sequential
+    single-chip path (deterministic config: no posterior sampling, no
+    added noise)."""
+    from dove_tpu.parallel.mesh import make_mesh
+
+    frames = np.random.default_rng(7).random((21, 8, 8, 3)).astype(np.float32)
+    seq = _pipe(params, vae_tiling=True, output_uint8=True).process_frames(
+        frames, chunk_len=9, overlap_t=4
+    )
+    mesh = make_mesh(data=4, model=1)
+    par = _pipe(params, vae_tiling=True, output_uint8=True).process_frames(
+        frames, chunk_len=9, overlap_t=4, mesh=mesh
+    )
+    assert par.dtype == np.uint8 and par.shape == seq.shape
+    np.testing.assert_array_equal(par, seq)
+
+
+def test_staged_mesh_chunk_parallel_i420(params):
+    from dove_tpu.parallel.mesh import make_mesh
+
+    frames = np.random.default_rng(8).random((21, 8, 8, 3)).astype(np.float32)
+    mesh = make_mesh(data=2, model=1)
+    seq = _pipe(
+        params, vae_tiling=True, output_uint8=True, output_i420=True
+    ).process_frames(frames, chunk_len=9, overlap_t=4)
+    par = _pipe(
+        params, vae_tiling=True, output_uint8=True, output_i420=True
+    ).process_frames(frames, chunk_len=9, overlap_t=4, mesh=mesh)
+    np.testing.assert_array_equal(par, seq)
