@@ -83,7 +83,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "dynamic int8 activations; enables full-spatial "
                         "(seam-free) staged VAE passes")
     p.add_argument("--data_parallel", type=int, default=0,
-                   help="shard tile batches over an N-chip data mesh")
+                   help="N-chip data mesh: shards tile batches (fused path) "
+                        "or temporal chunks (staged --is_vae_st path) — "
+                        "independent work, ~N-fold wall-time cut")
     return p
 
 
