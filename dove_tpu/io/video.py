@@ -73,8 +73,16 @@ def _to_uint8(video: np.ndarray) -> np.ndarray:
 
 
 def is_i420(video: np.ndarray) -> bool:
-    """Packed planar I420 clips are [F, H*3//2, W] uint8 (no channel dim)."""
-    return video.ndim == 3 and video.dtype == np.uint8
+    """Heuristic for packed planar I420 clips [F, H*3//2, W] uint8.
+
+    A grayscale [F, H, W] uint8 clip can look identical — callers that know
+    the format (the inference CLI knows the pipeline's output_i420 flag)
+    should pass ``pixel_format`` to save_video explicitly; this shape check
+    (plane height divisible by 3, frame dims even) is only the fallback."""
+    if video.ndim != 3 or video.dtype != np.uint8:
+        return False
+    hp, w = video.shape[1], video.shape[2]
+    return hp % 3 == 0 and (hp * 2 // 3) % 2 == 0 and w % 2 == 0
 
 
 def i420_to_rgb(video: np.ndarray) -> np.ndarray:
@@ -94,15 +102,24 @@ def save_frames_as_png(video: np.ndarray, out_dir: str | Path) -> None:
         cv2.imwrite(str(out_dir / f"{i:03d}.png"), cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
 
 
-def save_video(video: np.ndarray, out_path: str | Path, fps: int = 16) -> Path:
-    """Encode [F, H, W, 3] float [0,1] to mp4 (best available OpenCV codec).
+def save_video(
+    video: np.ndarray,
+    out_path: str | Path,
+    fps: int = 16,
+    pixel_format: str | None = None,
+) -> Path:
+    """Encode [F, H, W, 3] float [0,1] (or packed I420 [F, H*3//2, W] uint8)
+    to mp4 (best available OpenCV codec).
 
-    Returns the actual path written. Note: OpenCV cannot drive x264 CRF
-    settings; for strictly lossless output use save_frames_as_png.
+    pixel_format: "rgb" | "i420" | None (auto-detect via is_i420 — pass it
+    explicitly when the clip could be grayscale). Returns the actual path
+    written. Note: OpenCV cannot drive x264 CRF settings; for strictly
+    lossless output use save_frames_as_png.
     """
     out_path = Path(out_path)
     out_path.parent.mkdir(parents=True, exist_ok=True)
-    if is_i420(video):
+    i420 = pixel_format == "i420" if pixel_format else is_i420(video)
+    if i420:
         # packed planar YUV 4:2:0 straight from the device (pipeline
         # output_i420) — exactly what the H.264 encoder consumes anyway
         frames = video

@@ -176,13 +176,17 @@ def causal_conv3d(
             xs, kernel_leaf.transpose(1, 2, 0, 3, 4).reshape(kh, kw, kt * C, -1)
         )
     else:
+        # per-tap accumulation IN FP32 (bf16 partial sums would add two
+        # extra roundings per element vs the stacked lowering's single
+        # fp32-accumulated contraction, breaking bit-parity across paths)
         y = sum(
-            run_conv(
+            conv2d_raw(
                 jax.lax.slice_in_dim(x, dt, dt + F, axis=1).reshape(B * F, H, W, C),
-                kernel_leaf[dt],
+                kernel_leaf[dt].astype(x.dtype),
+                jnp.float32,
             )
             for dt in range(kt)
-        )
+        ).astype(x.dtype)
     y = y.reshape(B, F, H, W, -1)
     if "bias" in p:
         y = y + p["bias"].astype(y.dtype)

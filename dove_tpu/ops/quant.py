@@ -47,19 +47,30 @@ def quantize_weight(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 # Donated variants: quantizing a 5B-parameter tree must NOT transiently hold
 # both the bf16 and int8 copies in HBM (10.4 + 5.2 GB > a v5e chip next to
-# anything else). Donation frees each bf16 kernel as its int8 version lands.
+# anything else). Donation frees each bf16 kernel as its int8 version lands —
+# which also INVALIDATES the caller's references to those arrays on TPU, so
+# it is opt-out (DovePipeline.donate_weights=False) for flows that keep the
+# bf16 tree alive, e.g. A/B parity on hosts with HBM to spare.
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _quantize_weight_donated(w):
     return quantize_weight(w)
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _quantize_stacked_donated(w):
+_quantize_weight_jit = jax.jit(quantize_weight)
+
+
+def _quantize_stacked(w):
     wf = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(wf), axis=1, keepdims=True)  # [L, 1, out]
     scale = jnp.maximum(amax, _EPS) / 127.0
     w_q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
     return w_q, scale
+
+
+_quantize_stacked_donated = functools.partial(
+    jax.jit, donate_argnums=(0,)
+)(_quantize_stacked)
+_quantize_stacked_jit = jax.jit(_quantize_stacked)
 
 
 def dynamic_quant(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -113,30 +124,25 @@ def is_quantized(p: Params) -> bool:
     return isinstance(p, dict) and "kernel_q" in p
 
 
-def _quantize_leaf_dict(p: Params) -> Params:
+def _quantize_leaf_dict(p: Params, donate: bool = True) -> Params:
     """{"kernel": w, "bias"?} -> {"kernel_q", "kernel_scale", "bias"?}."""
-    w_q, scale = _quantize_weight_donated(p["kernel"])
+    fn = _quantize_weight_donated if donate else _quantize_weight_jit
+    w_q, scale = fn(p["kernel"])
     out = {"kernel_q": w_q, "kernel_scale": scale}
     if "bias" in p:
         out["bias"] = p["bias"]
     return out
 
 
-# Subtrees kept in bf16: small/critical layers where int8 harms accuracy for
-# negligible speed (norms and adaLN modulations aren't matmul-bound; the
-# final projection sets output fidelity; patchify/text_proj are tiny).
-DIT_KEEP_BF16 = ("norm1", "norm2", "norm_out", "time_embedding",
-                 "patch_embed", "proj_out", "norm_final")
-
-
-def quantize_dit(params: Params) -> Params:
+def quantize_dit(params: Params, donate: bool = True) -> Params:
     """Quantize the DiT's hot matmuls: attention q/k/v/out + both MLP
     projections (per scanned-layer stacked leaves quantize per layer too —
     the output-channel axis is last, the layer axis leads, so per-channel
     scales broadcast per layer: kernel [L, in, out] -> scale [L, 1, out])."""
 
     def q_stacked(p):
-        w_q, scale = _quantize_stacked_donated(p["kernel"])
+        fn = _quantize_stacked_donated if donate else _quantize_stacked_jit
+        w_q, scale = fn(p["kernel"])
         out = {"kernel_q": w_q, "kernel_scale": scale}
         if "bias" in p:
             out["bias"] = p["bias"]
@@ -157,7 +163,7 @@ def quantize_dit(params: Params) -> Params:
     return {**params, "blocks": new_blocks}
 
 
-def quantize_vae(params: Params) -> Params:
+def quantize_vae(params: Params, donate: bool = True) -> Params:
     """Quantize the VAE's hot conv kernels (encoder + decoder).
 
     Policy: a conv quantizes only when it is both FLOP-heavy and robust —
@@ -177,7 +183,7 @@ def quantize_vae(params: Params) -> Params:
     def walk(node):
         if isinstance(node, dict):
             if "kernel" in node and should_quantize(node["kernel"]):
-                return _quantize_leaf_dict(node)
+                return _quantize_leaf_dict(node, donate)
             return {k: walk(v) for k, v in node.items()}
         if isinstance(node, list):
             return [walk(v) for v in node]

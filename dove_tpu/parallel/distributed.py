@@ -27,7 +27,6 @@ no args autodetects from the TPU metadata (the JAX-recommended path).
 from __future__ import annotations
 
 import os
-from typing import Any
 
 import jax
 import numpy as np
@@ -91,34 +90,3 @@ def put_global(x: np.ndarray, sharding) -> jax.Array:
     return jax.make_array_from_process_local_data(sharding, np.asarray(x))
 
 
-def local_batch_size(global_batch: int) -> int:
-    """Per-process batch share; validates divisibility like DDP does."""
-    n = jax.process_count()
-    if global_batch % n:
-        raise ValueError(
-            f"global batch_size {global_batch} not divisible by "
-            f"process_count {n}"
-        )
-    return global_batch // n
-
-
-def sync_global(value: float | np.ndarray) -> np.ndarray:
-    """All-process mean of a host scalar (for logging parity across hosts)."""
-    if jax.process_count() == 1:
-        return np.asarray(value)
-    from jax.experimental import multihost_utils
-
-    return np.asarray(
-        multihost_utils.process_allgather(np.asarray(value)).mean(axis=0)
-    )
-
-
-def main_process_only(fn) -> Any:
-    """Decorator: run fn on process 0 only (checkpoint/log side effects)."""
-
-    def wrapped(*a, **k):
-        if is_main_process():
-            return fn(*a, **k)
-        return None
-
-    return wrapped

@@ -47,6 +47,12 @@ class DovePipeline:
     attention_backend: str | None = None
     sample_posterior: bool = True  # reference samples latent_dist at inference
     donate_input: bool = True
+    # The pipeline assumes OWNERSHIP of the weight trees by default: int8
+    # quantization donates the bf16 kernels (required to fit quantize-in-
+    # place on a 16 GB chip) and mesh replication frees the single-device
+    # originals. Pass False to keep caller-held trees alive (e.g. building
+    # bf16 + int8 pipelines from one tree for A/B parity on a big-HBM host).
+    donate_weights: bool = True
     vae_tiling: bool = False  # --is_vae_st: internal VAE tiling, no outer tiles
     output_uint8: bool = False  # staged path: skip the uint8->f32 roundtrip
     # int8 serving mode: per-channel int8 weights + dynamic per-tensor int8
@@ -70,8 +76,12 @@ class DovePipeline:
         if self.quantize == "int8":
             from dove_tpu.ops.quant import quantize_dit, quantize_vae
 
-            self.dit_params = quantize_dit(self.dit_params)
-            self.vae_params = quantize_vae(self.vae_params)
+            self.dit_params = quantize_dit(
+                self.dit_params, donate=self.donate_weights
+            )
+            self.vae_params = quantize_vae(
+                self.vae_params, donate=self.donate_weights
+            )
         elif self.quantize:
             raise ValueError(f"unknown quantize mode: {self.quantize}")
         if self.output_i420 and not (self.vae_tiling and self.output_uint8):
@@ -471,16 +481,33 @@ class DovePipeline:
         return out_u8.astype(np.float32) / 255.0
 
     def _staged_mesh_params(self, mesh):
-        """Replicate weights + prompt over a serving mesh (cached per mesh)."""
+        """Replicate weights + prompt over a serving mesh (cached per mesh).
+
+        The replicated copies REPLACE self.*_params: keeping the originals
+        committed to device 0 alongside the replicas would double parameter
+        residency there (a bf16 5B DiT alone would then exceed a v5e chip).
+        """
         if self._mesh_key is mesh:
             return self._mesh_params
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         rep = NamedSharding(mesh, P())
+
+        def move(leaf):
+            new = jax.device_put(leaf, rep)
+            if self.donate_weights and isinstance(leaf, jax.Array):
+                # free the single-device original leaf-by-leaf: a whole-tree
+                # device_put would transiently hold BOTH copies on the source
+                # chip (2x a bf16 5B DiT > a v5e's HBM)
+                jax.block_until_ready(new)
+                leaf.delete()
+            return new
+
+        self.vae_params = jax.tree.map(move, self.vae_params)
+        self.dit_params = jax.tree.map(move, self.dit_params)
+        self.prompt_embedding = move(self.prompt_embedding)
         self._mesh_params = (
-            jax.device_put(self.vae_params, rep),
-            jax.device_put(self.dit_params, rep),
-            jax.device_put(self.prompt_embedding, rep),
+            self.vae_params, self.dit_params, self.prompt_embedding
         )
         self._mesh_key = mesh
         return self._mesh_params
@@ -655,69 +682,33 @@ class DovePipeline:
                 return self._sr_clip_staged(data, rng_key)[:nf]
 
             n_par = mesh.shape.get("data", 1) if mesh is not None else 1
-            if self.output_uint8 and n_par > 1 and len(chunks) > 1:
-                # Multi-chip serving of the production path: temporal chunks
-                # shard over the mesh's "data" axis (uniform chunk plan ->
-                # one geometry -> one compile). An N-chip mesh cuts a long
-                # clip's wall time ~N-fold.
-                i420 = self.output_i420
-                Hf = H * 3 // 2 if i420 else H
-                shape = (F, Hf, W) if i420 else (F, H, W, 3)
-                out_arr = np.empty(shape, np.uint8)
-                covered = np.zeros(F, bool)
-                for g0 in range(0, len(chunks), n_par):
-                    group = chunks[g0 : g0 + n_par]
-                    datas = [chunk_data(ts, te)[0] for ts, te in group]
-                    real = len(datas)
-                    while len(datas) < n_par:  # pad the tail group
-                        datas.append(datas[-1])
-                    rng, step_rng = jax.random.split(rng)
-                    outs = self._sr_chunk_batch_staged(
-                        np.stack(datas), step_rng, mesh
-                    )
-                    for (ts, te), out in zip(group, outs[:real]):
-                        vr = tiling.valid_region(
-                            tiling.Tile(ts, te, 0, Hf, 0, W), (F, Hf, W),
-                            effective_ot, (0, 0),
-                        )
-                        out_arr[vr.dst[0]] = out[: te - ts][vr.src[0]]
-                        covered[vr.dst[0]] = True
-                if not covered.all():
-                    raise RuntimeError("temporal chunk coverage gap")
-                trim = pad_f + extra_f
-                if trim:
-                    out_arr = out_arr[:-trim]
-                if pad_h or pad_w:
-                    if i420:
-                        out_arr = tiling.i420_crop(
-                            out_arr, H - pad_h * upscale, W - pad_w * upscale
-                        )
-                    else:
-                        if pad_h:
-                            out_arr = out_arr[:, : -pad_h * upscale]
-                        if pad_w:
-                            out_arr = out_arr[:, :, : -pad_w * upscale]
-                return out_arr
+            if n_par > 1 and len(chunks) > 1 and not self.output_uint8:
+                logger.warning(
+                    "staged chunk-parallel mesh serving requires "
+                    "output_uint8 (the metrics/float path stitches "
+                    "sequentially); running chunks on one chip"
+                )
 
-            if self.output_uint8:
-                # uint8 fast path: temporal stitching is TRIM-based
-                # (write_count == 1), so chunks write straight into the
-                # preallocated output — no float roundtrip. Measured: the
-                # float Stitcher detour cost ~29 s host time on a 100-frame
-                # 720p clip (vs ~55 s of device time).
+            def assemble_uint8(produced):
+                """(ts, te) -> uint8 chunk pairs -> final trimmed clip.
+
+                Temporal stitching is TRIM-based (write_count == 1), so
+                chunks write straight into the preallocated output — no
+                float roundtrip. Measured: the float Stitcher detour cost
+                ~29 s host time on a 100-frame 720p clip (vs ~55 s device).
+                """
                 i420 = self.output_i420  # even dims guaranteed by padding
                 Hf = H * 3 // 2 if i420 else H
-                shape = (F, Hf, W) if i420 else (F, H, W, 3)
-                out_arr = np.empty(shape, np.uint8)
+                out_arr = np.empty(
+                    (F, Hf, W) if i420 else (F, H, W, 3), np.uint8
+                )
                 covered = np.zeros(F, bool)
-                for ts, te in chunks:
-                    rng, step_rng = jax.random.split(rng)
-                    out = chunk_out(ts, te, step_rng)
+                for (ts, te), out in produced:
                     vr = tiling.valid_region(
                         tiling.Tile(ts, te, 0, Hf, 0, W), (F, Hf, W),
                         effective_ot, (0, 0),
                     )
-                    out_arr[vr.dst[0]] = out[vr.src[0]]
+                    out_arr[vr.dst[0]] = out[: te - ts][vr.src[0]]
                     covered[vr.dst[0]] = True
                 if not covered.all():
                     raise RuntimeError("temporal chunk coverage gap")
@@ -735,6 +726,36 @@ class DovePipeline:
                         if pad_w:
                             out_arr = out_arr[:, :, : -pad_w * upscale]
                 return out_arr
+
+            if self.output_uint8 and n_par > 1 and len(chunks) > 1:
+                # Multi-chip serving of the production path: temporal chunks
+                # shard over the mesh's "data" axis (uniform chunk plan ->
+                # one geometry -> one compile). An N-chip mesh cuts a long
+                # clip's wall time ~N-fold.
+                def mesh_chunks():
+                    nonlocal rng
+                    for g0 in range(0, len(chunks), n_par):
+                        group = chunks[g0 : g0 + n_par]
+                        datas = [chunk_data(ts, te)[0] for ts, te in group]
+                        real = len(datas)
+                        while len(datas) < n_par:  # pad the tail group
+                            datas.append(datas[-1])
+                        rng, step_rng = jax.random.split(rng)
+                        outs = self._sr_chunk_batch_staged(
+                            np.stack(datas), step_rng, mesh
+                        )
+                        yield from zip(group, outs[:real])
+
+                return assemble_uint8(mesh_chunks())
+
+            if self.output_uint8:
+                def seq_chunks():
+                    nonlocal rng
+                    for ts, te in chunks:
+                        rng, step_rng = jax.random.split(rng)
+                        yield (ts, te), chunk_out(ts, te, step_rng)
+
+                return assemble_uint8(seq_chunks())
 
             stitcher = tiling.Stitcher(3, F, H, W, effective_ot, (0, 0))
             for ts, te in chunks:

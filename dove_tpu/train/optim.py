@@ -190,7 +190,12 @@ def came(
         ]
         unflat = lambda i: jax.tree.unflatten(treedef, [f[i] for f in flat])
         steps = unflat(0)
-        lr = learning_rate(count) if callable(learning_rate) else learning_rate
+        # schedule evaluated at the COMPLETED step count (optax convention;
+        # matches the reference's scheduler.step()-after-optimizer ordering)
+        lr = (
+            learning_rate(state.count)
+            if callable(learning_rate) else learning_rate
+        )
         if weight_decay:
             steps = jax.tree.map(
                 lambda s, p: s + weight_decay * p.astype(jnp.float32), steps, params

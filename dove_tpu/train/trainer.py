@@ -590,23 +590,44 @@ class Trainer:
         # Round-robin clips across hosts (multi-host data-parallel analog of
         # the reference's per-rank round-robin).
         clips = clips[jax.process_index()::jax.process_count()]
+        from dove_tpu.eval.metrics import FULL_REFERENCE
+
         for clip in clips:
             frames = video_io.load_sequence(clip)
             sr = pipe.process_frames(frames)
             video_io.save_video(sr, out_dir / f"{clip.stem}.mp4", fps=args.gen_fps)
-            if ref_dir is not None:
-                ref_path = ref_dir / clip.name
-                if ref_path.exists():
-                    ref = video_io.load_sequence(ref_path)
+            ref = None
+            if ref_dir is not None and (ref_dir / clip.name).exists():
+                ref = video_io.load_sequence(ref_dir / clip.name)
+            for name, fn in metric_fns.items():
+                if name in FULL_REFERENCE:
+                    if ref is None:
+                        continue
                     n = min(len(ref), len(sr))
                     h = min(ref.shape[1], sr.shape[1])
                     w = min(ref.shape[2], sr.shape[2])
-                    for name, fn in metric_fns.items():
-                        results[name].append(
-                            float(fn(sr[:n, :h, :w], ref[:n, :h, :w]))
-                        )
+                    val = fn(sr[:n, :h, :w], ref[:n, :h, :w])
+                else:  # no-reference metrics score the SR clip alone
+                    val = fn(sr)
+                results[name].append(float(val))
+        # Multi-host: every process computed a different clip shard — combine
+        # (sum, count) across hosts so the logged numbers cover the full set.
+        # Fixed-shape collective over ALL metric names on every host (a
+        # per-key gather could deadlock when shards have uneven coverage).
+        names = sorted(metric_fns)
+        sums = np.asarray(
+            [float(np.sum(results[n])) if results[n] else 0.0 for n in names]
+        )
+        cnts = np.asarray([float(len(results[n])) for n in names])
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            gathered = multihost_utils.process_allgather(
+                np.stack([sums, cnts])
+            )  # [n_proc, 2, n_metrics]
+            sums, cnts = gathered.sum(axis=0)
         summary = {
-            k: float(np.mean(v)) for k, v in results.items() if v
+            n: float(s / c) for n, s, c in zip(names, sums, cnts) if c > 0
         }
         rec = {"step": step, "validation": summary}
         logger.info("%s", rec)

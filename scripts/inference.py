@@ -285,6 +285,8 @@ def main(argv=None):
             save_futures.append(save_pool.submit(
                 video_io.save_video, out, out_dir / (vpath.stem + ".mp4"),
                 args.fps,
+                # explicit: the pipeline may fall back to RGB on odd dims
+                "i420" if (pipe.output_i420 and out.ndim == 3) else "rgb",
             ))
 
     if accumulator is not None:

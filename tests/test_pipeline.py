@@ -26,7 +26,9 @@ def _pipe(params, **kw):
     cfg, dit, vae, prompt = params
     return DovePipeline(
         config=cfg, dit_params=dit, vae_params=vae, prompt_embedding=prompt,
-        dtype=jnp.float32, donate_input=False, sample_posterior=False, **kw,
+        dtype=jnp.float32, donate_input=False, sample_posterior=False,
+        donate_weights=False,  # params fixture is shared across tests
+        **kw,
     )
 
 

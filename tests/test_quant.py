@@ -125,8 +125,12 @@ def test_pipeline_quantized_end_to_end():
                        jnp.float32)
     frames = np.random.default_rng(0).random((5, 16, 16, 3)).astype(np.float32)
 
+    # the bf16 and int8 pipelines SHARE one weight tree -> the int8 pipe
+    # must not donate it (quantization would delete the bf16 pipe's buffers
+    # on TPU; donate_weights=False is the documented A/B-parity mode)
     common = dict(config=cfg, prompt_embedding=prompt, dtype=jnp.float32,
-                  vae_tiling=True, donate_input=False, sample_posterior=False)
+                  vae_tiling=True, donate_input=False, sample_posterior=False,
+                  donate_weights=False)
     ref = DovePipeline(dit_params=dit, vae_params=vae, **common).process_frames(frames)
     out = DovePipeline(dit_params=dit, vae_params=vae, quantize="int8",
                        **common).process_frames(frames)

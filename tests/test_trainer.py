@@ -379,3 +379,34 @@ def test_args_validators():
         Args(model_path="x", do_validation=True)  # needs validation_dir
     a = Args(model_path="x", train_resolution="25x320x640")
     assert a.train_resolution == (25, 320, 640)
+
+
+def test_validate_metrics_and_artifacts(data_dir, tmp_path):
+    """Trainer.validate: honors eval_metric_list, computes full-reference
+    metrics against ref clips AND no-reference metrics on the SR output
+    alone, writes per-step artifacts, and logs a summary."""
+    import cv2
+
+    val_lq = tmp_path / "val_lq"
+    val_gt = tmp_path / "val_gt"
+    val_lq.mkdir(); val_gt.mkdir()
+    _write_clip(val_lq / "v0.mp4", frames=9, size=16)
+    _write_clip(val_gt / "v0.mp4", frames=9, size=64)
+
+    args = _base_args(
+        data_dir, tmp_path / "out",
+        do_validation=True,
+        validation_dir=val_lq,
+        validation_ref_videos=str(val_gt),
+        eval_metric_list="psnr,ssim,niqe",  # niqe is weights-gated -> warns
+    )
+    trainer = DOVES1Trainer(args)
+    trainer.load_components()
+    (tmp_path / "out").mkdir(exist_ok=True)
+    summary = trainer.validate(step=1)
+    assert set(summary) == {"psnr", "ssim"}  # niqe skipped with a warning
+    assert all(np.isfinite(v) for v in summary.values())
+    out_mp4 = tmp_path / "out" / "validation_res" / "Step-1" / "v0.mp4"
+    assert out_mp4.exists()
+    cap = cv2.VideoCapture(str(out_mp4))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 9
