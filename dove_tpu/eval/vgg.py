@@ -25,7 +25,6 @@ doubles as the stage-2 training loss.
 
 from __future__ import annotations
 
-import functools
 from pathlib import Path
 from typing import Any
 

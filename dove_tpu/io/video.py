@@ -9,7 +9,6 @@ available through OpenCV.
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 
 import cv2

@@ -13,7 +13,6 @@ correlation lookups are gather-free bilinear sampling on the pooled pyramid.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any
 
 import jax
