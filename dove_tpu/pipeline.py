@@ -481,36 +481,32 @@ class DovePipeline:
         return out_u8.astype(np.float32) / 255.0
 
     def _staged_mesh_params(self, mesh):
-        """Replicate weights + prompt over a serving mesh (cached per mesh).
+        """Replicate the weights over a serving mesh (cached per mesh).
 
-        The replicated copies REPLACE self.*_params: keeping the originals
-        committed to device 0 alongside the replicas would double parameter
-        residency there (a bf16 5B DiT alone would then exceed a v5e chip).
+        The replicated copies REPLACE self.*_params (keeping the originals
+        committed to one device next to the replicas would double parameter
+        residency there — a bf16 5B DiT alone would then exceed a v5e chip).
+        Under donate_weights the reshard runs as a DONATED jit identity so
+        XLA frees/aliases source buffers safely (a manual delete would
+        corrupt shards that alias the source — e.g. the source device's own
+        replica). The prompt is re-placed on every call: it is tiny and the
+        inference CLI swaps it per video.
         """
-        if self._mesh_key is mesh:
-            return self._mesh_params
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         rep = NamedSharding(mesh, P())
-
-        def move(leaf):
-            new = jax.device_put(leaf, rep)
-            if self.donate_weights and isinstance(leaf, jax.Array):
-                # free the single-device original leaf-by-leaf: a whole-tree
-                # device_put would transiently hold BOTH copies on the source
-                # chip (2x a bf16 5B DiT > a v5e's HBM)
-                jax.block_until_ready(new)
-                leaf.delete()
-            return new
-
-        self.vae_params = jax.tree.map(move, self.vae_params)
-        self.dit_params = jax.tree.map(move, self.dit_params)
-        self.prompt_embedding = move(self.prompt_embedding)
-        self._mesh_params = (
-            self.vae_params, self.dit_params, self.prompt_embedding
-        )
-        self._mesh_key = mesh
-        return self._mesh_params
+        if self._mesh_key is not mesh:
+            if self.donate_weights:
+                reshard = jax.jit(
+                    lambda t: t, out_shardings=rep, donate_argnums=0
+                )
+            else:
+                reshard = lambda t: jax.device_put(t, rep)
+            self.vae_params = reshard(self.vae_params)
+            self.dit_params = reshard(self.dit_params)
+            self._mesh_key = mesh
+        prompt = jax.device_put(self.prompt_embedding, rep)
+        return self.vae_params, self.dit_params, prompt
 
     def _sr_chunk_batch_staged(
         self, batch: np.ndarray, rng: jax.Array, mesh

@@ -114,3 +114,37 @@ def test_bench_tiny_smoke(monkeypatch, capsys):
     for key in ("value", "unit", "vs_baseline", "detail"):
         assert key in rec
     assert rec["value"] > 0
+
+
+def test_inference_cli_data_parallel_staged(tmp_path, monkeypatch):
+    """Full inference CLI with --is_vae_st --data_parallel 2 on the virtual
+    CPU mesh: exercises the chunk-parallel staged serving path (and I420
+    writer) end to end through main()."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    writer = cv2.VideoWriter(
+        str(in_dir / "c.mp4"), cv2.VideoWriter_fourcc(*"mp4v"), 8, (16, 16)
+    )
+    rng = np.random.default_rng(0)
+    for i in range(14):
+        writer.write(rng.integers(0, 255, (16, 16, 3), np.uint8))
+    writer.release()
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    import importlib
+
+    inference = importlib.import_module("inference")
+    inference.main([
+        "--input_dir", str(in_dir),
+        "--output_path", str(tmp_path / "out"),
+        "--preset", "tiny",
+        "--is_vae_st",
+        "--chunk_len", "9", "--overlap_t", "4",
+        "--data_parallel", "2",
+        "--quantize", "int8",
+    ])
+    out = tmp_path / "out" / "c.mp4"
+    assert out.exists()
+    cap = cv2.VideoCapture(str(out))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 14
+    assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 64
