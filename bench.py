@@ -87,10 +87,11 @@ def main():
     ap.add_argument("--tile", type=int, nargs=2, default=(0, 0))
     ap.add_argument("--no_vae_tiling", action="store_true",
                     help="use the outer pixel-space tiler instead")
-    ap.add_argument("--repeats", type=int, default=4,
-                    help="timed passes; the JSON reports the min (decode is "
-                         "noisy run-to-run on the tunneled chip — take the "
-                         "min of >=3 before concluding anything)")
+    ap.add_argument("--repeats", type=int, default=5,
+                    help="timed passes; the JSON reports the min (decode "
+                         "drifts downward over the first passes on the "
+                         "tunneled chip — take the min of >=4 before "
+                         "concluding anything)")
     ap.add_argument("--tile_batch", type=int, default=1)
     ap.add_argument("--profile", type=str, default=None,
                     help="write a jax.profiler trace to this directory")
