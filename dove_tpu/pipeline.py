@@ -471,7 +471,14 @@ class DovePipeline:
         if timing:
             print(f"stage dit: {t2 - t1:.2f}s", flush=True)
 
-        out_u8 = self._parallel_get(fns["dec_all"](self.vae_params, z))[0]
+        dec = fns["dec_all"](self.vae_params, z)
+        if os.environ.get("DOVE_STAGE_TIMING") == "2":
+            # split decode into device time vs host-pull time (the barrier
+            # is one scalar pull — free)
+            self._barrier(dec)
+            t_dev = time.time()
+            print(f"stage dec/device: {t_dev - t2:.2f}s", flush=True)
+        out_u8 = self._parallel_get(dec)[0]
         t3 = time.time()
         self.stage_times["dec"] = self.stage_times.get("dec", 0.0) + (t3 - t2)
         if timing:
