@@ -545,10 +545,13 @@ class Trainer:
     def validate(self, step: int) -> dict[str, float]:
         """One-step SR on held-out clips + metrics (reference trainer.py:642-871).
 
-        Honors ``eval_metric_list`` (psnr/ssim natively; lpips/dists when the
-        pretrained feature weights are available, like the reference's pyiqa
-        nets). Clips round-robin over hosts (the reference round-robins ranks,
-        trainer.py:683-686); each host writes its own artifacts.
+        Honors ``eval_metric_list``: psnr/ssim natively; lpips/dists/
+        clipiqa/niqe/maniqa when their exported weights are available (like
+        the reference's pyiqa nets). Full-reference metrics need ref clips;
+        no-reference metrics score the SR output alone. Clips round-robin
+        over hosts (the reference round-robins ranks, trainer.py:683-686);
+        each host writes its own artifacts and the summary combines
+        (sum, count) across hosts.
         """
         args = self.args
         if not args.validation_dir:
