@@ -1,19 +1,26 @@
-"""CLIP (ViT-B/32) towers + CLIP-IQA metric — TPU-native JAX.
+"""CLIP towers (ViT-B/32 and RN50) + CLIP-IQA metric — TPU-native JAX.
 
 The reference scores no-reference quality with pyiqa's ``clipiqa``
 (/root/reference/eval_metrics.py:100-152; the VideoLQ row of BASELINE.md is
 no-reference-only). This module implements the metric natively: a CLIP image
-tower and text tower loaded from a HuggingFace CLIP checkpoint directory, and
-the CLIP-IQA antonym-prompt score
+tower and text tower, and the CLIP-IQA antonym-prompt score
 
     s = softmax([sim(img, "Good photo."), sim(img, "Bad photo.")])[good]
 
-Weights-gated like LPIPS/DISTS: set ``DOVE_CLIP_WEIGHTS`` to a local HF CLIP
-snapshot (e.g. openai/clip-vit-base-patch32: config.json + model.safetensors +
-tokenizer files). Documented deviation: pyiqa's default clipiqa backbone is
-CLIP RN50 with positional embeddings dropped; ours is ViT-B/32 at 224x224 with
-the standard CLIP preprocessing — scores correlate but are not bit-identical
-(noted in PARITY.md).
+Two backbones, selected by the checkpoint:
+
+  * ``DOVE_CLIP_WEIGHTS`` -> a DIRECTORY: HuggingFace CLIPModel snapshot
+    (e.g. openai/clip-vit-base-patch32) — ViT tower at 224x224 with the
+    standard CLIP resize preprocessing;
+  * ``DOVE_CLIP_WEIGHTS`` -> a FILE (.pt): an OpenAI-layout CLIP RN50
+    state dict (``visual.conv1.weight`` ... ``visual.attnpool.*``) — the
+    pyiqa clipiqa default: the modified ResNet-50 (anti-aliased strides,
+    attention pooling) run at NATIVE resolution with the attnpool's
+    positional embedding DROPPED (CLIP-IQA's convention for arbitrary
+    input sizes). Tokenizer files (HF CLIPTokenizer) must sit next to the
+    .pt or in ``DOVE_CLIP_TOKENIZER``.
+
+Weights-gated like LPIPS/DISTS (no downloads in this environment).
 """
 
 from __future__ import annotations
@@ -321,6 +328,265 @@ def init_clip_params(key: jax.Array, cfg: CLIPConfig) -> Params:
 
 
 # ---------------------------------------------------------------------------
+# Modified ResNet-50 vision tower (OpenAI CLIP "RN50")
+#
+# Anti-aliased design: every stride-2 lives in an AvgPool (stem tail, the
+# bottleneck's post-conv2 pool, and the downsample branch), convs are
+# stride-1. BatchNorms are inference-folded at load time into per-channel
+# scale/bias. The attention pool queries with the mean token; CLIP-IQA
+# drops its positional embedding so any input resolution works
+# (pyiqa clipiqa convention — BASELINE.md CLIP-IQA columns).
+# ---------------------------------------------------------------------------
+
+RN50_LAYERS = (3, 4, 6, 3)
+
+
+def _bn(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Inference BatchNorm folded to scale/bias (see _fold_bn)."""
+    return x * p["scale"] + p["bias"]
+
+
+def _conv2d_nhwc(kernel: jnp.ndarray, x: jnp.ndarray, stride=1, pad=0):
+    return jax.lax.conv_general_dilated(
+        x, kernel, (stride, stride),
+        ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _avgpool(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """AvgPool2d(k) with torch's VALID/floor semantics — any input size."""
+    s = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, k, k, 1), (1, k, k, 1), "VALID"
+    )
+    return s / (k * k)
+
+
+def _bottleneck(p: Params, x: jnp.ndarray, stride: int) -> jnp.ndarray:
+    h = jax.nn.relu(_bn(p["bn1"], _conv2d_nhwc(p["conv1"], x)))
+    h = jax.nn.relu(_bn(p["bn2"], _conv2d_nhwc(p["conv2"], h, pad=1)))
+    if stride > 1:
+        h = _avgpool(h, stride)
+    h = _bn(p["bn3"], _conv2d_nhwc(p["conv3"], h))
+    if "downsample" in p:
+        x = _avgpool(x, stride) if stride > 1 else x
+        x = _bn(p["downsample"]["bn"], _conv2d_nhwc(p["downsample"]["conv"], x))
+    return jax.nn.relu(x + h)
+
+
+def encode_image_rn50(p: Params, images: jnp.ndarray) -> jnp.ndarray:
+    """images: [B, H, W, 3] CLIP-normalized, any resolution (strided convs
+    and floor-semantics pools match torch) -> unit-norm [B, proj_dim]."""
+    v = p["vision"]
+    x = jax.nn.relu(_bn(v["bn1"], _conv2d_nhwc(v["conv1"], images, 2, 1)))
+    x = jax.nn.relu(_bn(v["bn2"], _conv2d_nhwc(v["conv2"], x, pad=1)))
+    x = jax.nn.relu(_bn(v["bn3"], _conv2d_nhwc(v["conv3"], x, pad=1)))
+    x = _avgpool(x, 2)
+    for li, blocks in enumerate(v["layers"]):
+        for bi, blk in enumerate(blocks):
+            x = _bottleneck(blk, x, stride=2 if (li > 0 and bi == 0) else 1)
+
+    # attention pool, positional embedding dropped (CLIP-IQA)
+    ap = v["attnpool"]
+    B, H, W, C = x.shape
+    heads = ap["num_heads"]
+    hd = C // heads
+    tokens = x.reshape(B, H * W, C)
+    tokens = jnp.concatenate([tokens.mean(1, keepdims=True), tokens], axis=1)
+    q = _linear(ap["q"], tokens[:, :1]).reshape(B, 1, heads, hd)
+    k = _linear(ap["k"], tokens).reshape(B, -1, heads, hd)
+    vv = _linear(ap["v"], tokens).reshape(B, -1, heads, hd)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q * (hd ** -0.5), k)
+    probs = jax.nn.softmax(logits, axis=-1)
+    pooled = jnp.einsum("bhqk,bkhd->bqhd", probs, vv).reshape(B, C)
+    out = _linear(ap["c"], pooled)
+    return out / jnp.linalg.norm(
+        out.astype(jnp.float32), axis=-1, keepdims=True
+    ).astype(out.dtype)
+
+
+def _fold_bn(sd: dict, prefix: str, eps: float = 1e-5) -> Params:
+    w = np.asarray(sd[f"{prefix}.weight"], np.float32)
+    b = np.asarray(sd[f"{prefix}.bias"], np.float32)
+    mean = np.asarray(sd[f"{prefix}.running_mean"], np.float32)
+    var = np.asarray(sd[f"{prefix}.running_var"], np.float32)
+    scale = w / np.sqrt(var + eps)
+    return {"scale": jnp.asarray(scale), "bias": jnp.asarray(b - mean * scale)}
+
+
+def load_clip_rn50(path: str | Path) -> tuple[CLIPConfig, Params]:
+    """OpenAI CLIP RN50 state dict (.pt; clip.load('RN50').state_dict())
+    -> (text cfg, params) with the RN50 vision tower and the shared-format
+    text tower (the text side reuses encode_text unchanged)."""
+    import torch
+
+    sd = torch.load(str(path), map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    sd = {k: np.asarray(v.float() if hasattr(v, "float") else v) for k, v in sd.items()}
+
+    def conv(key):  # torch OIHW -> HWIO
+        return jnp.asarray(np.transpose(sd[key], (2, 3, 1, 0)), jnp.float32)
+
+    def lin(prefix):
+        return {
+            "kernel": jnp.asarray(sd[f"{prefix}.weight"].T, jnp.float32),
+            "bias": jnp.asarray(sd[f"{prefix}.bias"], jnp.float32),
+        }
+
+    layers = []
+    for li, n_blocks in enumerate(RN50_LAYERS):
+        blocks = []
+        for bi in range(n_blocks):
+            pre = f"visual.layer{li + 1}.{bi}"
+            blk: Params = {
+                "conv1": conv(f"{pre}.conv1.weight"),
+                "bn1": _fold_bn(sd, f"{pre}.bn1"),
+                "conv2": conv(f"{pre}.conv2.weight"),
+                "bn2": _fold_bn(sd, f"{pre}.bn2"),
+                "conv3": conv(f"{pre}.conv3.weight"),
+                "bn3": _fold_bn(sd, f"{pre}.bn3"),
+            }
+            if f"{pre}.downsample.0.weight" in sd:
+                blk["downsample"] = {
+                    "conv": conv(f"{pre}.downsample.0.weight"),
+                    "bn": _fold_bn(sd, f"{pre}.downsample.1"),
+                }
+            blocks.append(blk)
+        layers.append(blocks)
+
+    embed_dim = sd["visual.attnpool.c_proj.weight"].shape[0]
+    attn_dim = sd["visual.attnpool.c_proj.weight"].shape[1]
+    text_width = sd["ln_final.weight"].shape[0]
+    n_text_layers = len(
+        {k.split(".")[2] for k in sd if k.startswith("transformer.resblocks.")}
+    )
+    cfg = CLIPConfig(
+        vocab_size=sd["token_embedding.weight"].shape[0],
+        context_length=sd["positional_embedding"].shape[0],
+        text_width=text_width,
+        text_layers=n_text_layers,
+        text_heads=text_width // 64,
+        projection_dim=embed_dim,
+    )
+
+    def text_block(i):
+        pre = f"transformer.resblocks.{i}"
+        w = sd[f"{pre}.attn.in_proj_weight"]
+        b = sd[f"{pre}.attn.in_proj_bias"]
+        qw, kw, vw = np.split(w, 3, axis=0)
+        qb, kb, vb = np.split(b, 3, axis=0)
+
+        def ln(name):
+            return {"scale": jnp.asarray(sd[f"{pre}.{name}.weight"], jnp.float32),
+                    "bias": jnp.asarray(sd[f"{pre}.{name}.bias"], jnp.float32)}
+
+        mk = lambda wt, bt: {"kernel": jnp.asarray(wt.T, jnp.float32),
+                             "bias": jnp.asarray(bt, jnp.float32)}
+        return {
+            "ln1": ln("ln_1"),
+            "attn": {"q": mk(qw, qb), "k": mk(kw, kb), "v": mk(vw, vb),
+                     "out": lin(f"{pre}.attn.out_proj")},
+            "ln2": ln("ln_2"),
+            "fc1": lin(f"{pre}.mlp.c_fc"),
+            "fc2": lin(f"{pre}.mlp.c_proj"),
+        }
+
+    params: Params = {
+        "vision": {
+            "conv1": conv("visual.conv1.weight"),
+            "bn1": _fold_bn(sd, "visual.bn1"),
+            "conv2": conv("visual.conv2.weight"),
+            "bn2": _fold_bn(sd, "visual.bn2"),
+            "conv3": conv("visual.conv3.weight"),
+            "bn3": _fold_bn(sd, "visual.bn3"),
+            "layers": layers,
+            "attnpool": {
+                "num_heads": attn_dim // 64,  # RN50: 2048/64 = 32
+                "q": lin("visual.attnpool.q_proj"),
+                "k": lin("visual.attnpool.k_proj"),
+                "v": lin("visual.attnpool.v_proj"),
+                "c": lin("visual.attnpool.c_proj"),
+            },
+        },
+        "text": {
+            "token_embed": jnp.asarray(sd["token_embedding.weight"], jnp.float32),
+            "pos_embed": jnp.asarray(sd["positional_embedding"], jnp.float32),
+            "blocks": [text_block(i) for i in range(n_text_layers)],
+            "final_ln": {
+                "scale": jnp.asarray(sd["ln_final.weight"], jnp.float32),
+                "bias": jnp.asarray(sd["ln_final.bias"], jnp.float32),
+            },
+        },
+        # OpenAI stores text_projection already in x @ W orientation
+        "text_projection": jnp.asarray(sd["text_projection"], jnp.float32),
+        "logit_scale": jnp.asarray(sd["logit_scale"], jnp.float32),
+    }
+    return cfg, params
+
+
+def init_clip_rn50_params(key: jax.Array, width: int = 16) -> Params:
+    """Random RN50-shaped vision tower at a reduced width (tests). Text
+    side reuses init_clip_params."""
+    ks = iter(jax.random.split(key, 256))
+
+    def conv(kh, kw, cin, cout):
+        return jax.random.normal(next(ks), (kh, kw, cin, cout), jnp.float32) * (
+            (kh * kw * cin) ** -0.5
+        )
+
+    def bn(c):
+        return {"scale": jnp.ones((c,), jnp.float32),
+                "bias": jnp.zeros((c,), jnp.float32)}
+
+    def lin(din, dout):
+        return {"kernel": jax.random.normal(next(ks), (din, dout), jnp.float32)
+                * din**-0.5,
+                "bias": jnp.zeros((dout,), jnp.float32)}
+
+    layers = []
+    inplanes = width
+    for li, n_blocks in enumerate(RN50_LAYERS):
+        planes = width * (2 ** li)
+        blocks = []
+        for bi in range(n_blocks):
+            cin = inplanes if bi == 0 else planes * 4
+            blk = {
+                "conv1": conv(1, 1, cin, planes),
+                "bn1": bn(planes),
+                "conv2": conv(3, 3, planes, planes),
+                "bn2": bn(planes),
+                "conv3": conv(1, 1, planes, planes * 4),
+                "bn3": bn(planes * 4),
+            }
+            if bi == 0:
+                blk["downsample"] = {
+                    "conv": conv(1, 1, cin, planes * 4),
+                    "bn": bn(planes * 4),
+                }
+            blocks.append(blk)
+        inplanes = planes * 4
+        layers.append(blocks)
+    C = inplanes
+    return {
+        "vision": {
+            "conv1": conv(3, 3, 3, width // 2),
+            "bn1": bn(width // 2),
+            "conv2": conv(3, 3, width // 2, width // 2),
+            "bn2": bn(width // 2),
+            "conv3": conv(3, 3, width // 2, width),
+            "bn3": bn(width),
+            "layers": layers,
+            "attnpool": {
+                "num_heads": 4,
+                "q": lin(C, C), "k": lin(C, C), "v": lin(C, C),
+                "c": lin(C, C // 2),
+            },
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
 # CLIP-IQA
 # ---------------------------------------------------------------------------
 
@@ -339,21 +605,33 @@ def _preprocess(frames: np.ndarray, size: int) -> np.ndarray:
 def clipiqa_metric(model_dir: str | Path | None = None):
     """Build the CLIP-IQA callable: [F, H, W, 3] in [0,1] -> mean score.
 
-    model_dir defaults to $DOVE_CLIP_WEIGHTS; raises a clear error when no
-    local CLIP checkpoint is available (no network access here).
-    """
+    model_dir defaults to $DOVE_CLIP_WEIGHTS. A directory loads the HF
+    CLIPModel (ViT) backbone; a .pt file loads the OpenAI-layout RN50
+    backbone (pyiqa's clipiqa default: native resolution, attnpool
+    positional embedding dropped). Raises a clear error when no local CLIP
+    checkpoint is available (no network access here)."""
     model_dir = model_dir or os.environ.get("DOVE_CLIP_WEIGHTS")
     if not model_dir or not Path(model_dir).exists():
         raise NotImplementedError(
             "clipiqa needs a local CLIP checkpoint: set DOVE_CLIP_WEIGHTS to "
             "a HF clip-vit-base-patch32 snapshot directory (config.json + "
-            "model weights + tokenizer files)"
+            "model weights + tokenizer files) or an OpenAI CLIP RN50 state "
+            "dict .pt (pyiqa-default backbone; tokenizer files alongside or "
+            "in DOVE_CLIP_TOKENIZER)"
         )
-    cfg, params = load_clip(model_dir)
+    rn50 = Path(model_dir).is_file()
+    if rn50:
+        cfg, params = load_clip_rn50(model_dir)
+        tok_dir = os.environ.get(
+            "DOVE_CLIP_TOKENIZER", str(Path(model_dir).parent)
+        )
+    else:
+        cfg, params = load_clip(model_dir)
+        tok_dir = str(model_dir)
 
     from transformers import CLIPTokenizer
 
-    tok = CLIPTokenizer.from_pretrained(str(model_dir))
+    tok = CLIPTokenizer.from_pretrained(tok_dir)
     enc = tok(
         [GOOD_PROMPT, BAD_PROMPT],
         padding="max_length",
@@ -364,13 +642,20 @@ def clipiqa_metric(model_dir: str | Path | None = None):
 
     @jax.jit
     def score(images: jnp.ndarray) -> jnp.ndarray:
-        img_feats = encode_image(cfg, params, images)  # [F, D]
+        if rn50:
+            img_feats = encode_image_rn50(params, images)  # native res
+        else:
+            img_feats = encode_image(cfg, params, images)  # [F, D]
         scale = jnp.exp(params["logit_scale"])
         logits = scale * img_feats @ text_feats.T  # [F, 2]
         return jax.nn.softmax(logits, axis=-1)[:, 0]
 
     def metric(frames: np.ndarray, _gt=None) -> float:
-        x = jnp.asarray(_preprocess(np.asarray(frames), cfg.image_size))
+        if rn50:
+            x = (np.clip(np.asarray(frames, np.float32), 0, 1) - _MEAN) / _STD
+            x = jnp.asarray(x)
+        else:
+            x = jnp.asarray(_preprocess(np.asarray(frames), cfg.image_size))
         return float(jnp.mean(score(x)))
 
     return metric

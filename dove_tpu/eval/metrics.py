@@ -133,6 +133,10 @@ def get_metric(name: str) -> Callable:
         from dove_tpu.eval.maniqa import maniqa_metric
 
         return maniqa_metric()
+    if name == "musiq":
+        from dove_tpu.eval.musiq import musiq_metric
+
+        return musiq_metric()
     if name in ("ewarp", "e*warp", "warping_error"):
         import os
 

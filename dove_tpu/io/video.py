@@ -140,6 +140,41 @@ def save_video(
     raise RuntimeError("no working mp4 encoder in OpenCV build")
 
 
+def save_video_lossless(
+    video: np.ndarray, out_path: str | Path, fps: int = 16
+) -> Path:
+    """Strictly lossless video write: FFV1 in Matroska (the reference's
+    lossless artifact, /root/reference/inference_script.py:111-189), falling
+    back to HuffYUV/AVI, then to a PNG frame directory.
+
+    video: [F, H, W, 3] float [0,1] or uint8 RGB. Every codec in the chain
+    round-trips BIT-EXACTLY (verified by tests/test_cli_tools.py); the PNG
+    fallback only engages when the OpenCV build has no lossless encoder.
+    Returns the path actually written (suffix may change with the codec).
+    """
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    frames = _to_uint8(video)
+    h, w = frames.shape[1:3]
+    for fourcc_name, suffix in (("FFV1", ".mkv"), ("HFYU", ".avi")):
+        path = out_path.with_suffix(suffix)
+        writer = cv2.VideoWriter(
+            str(path), cv2.VideoWriter_fourcc(*fourcc_name), fps, (w, h)
+        )
+        if writer.isOpened():
+            for frame in frames:
+                writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+            writer.release()
+            if path.exists() and path.stat().st_size > 0:
+                return path
+        else:  # pragma: no cover - depends on the OpenCV build
+            writer.release()
+        path.unlink(missing_ok=True)
+    # pragma: no cover - this build has FFV1; kept for portability
+    save_frames_as_png(frames, out_path.with_suffix(""))
+    return out_path.with_suffix("")
+
+
 _UPSCALE_MODES = {
     "bilinear": cv2.INTER_LINEAR,
     "bicubic": cv2.INTER_CUBIC,

@@ -223,11 +223,15 @@ def _nearest_resize(x: jnp.ndarray, f: int, h: int, w: int) -> jnp.ndarray:
     return x
 
 
-def _nearest_resize_causal(z: jnp.ndarray, f: int, h: int, w: int) -> jnp.ndarray:
+def _nearest_resize_causal(
+    z: jnp.ndarray, f: int, h: int, w: int, first: bool = True
+) -> jnp.ndarray:
     """Nearest upsample with the causal first-frame convention: when the
     target length is odd (>1), the first frame upsamples alone and the rest
-    share the remaining factor."""
-    if f > 1 and f % 2 == 1:
+    share the remaining factor. ``first=False`` (a continuation segment in
+    cache-threaded streaming decode — the clip's real first frame lives in
+    an earlier segment) always uses the uniform path."""
+    if first and f > 1 and f % 2 == 1:
         zf = _nearest_resize(z[:, :1], 1, h, w)
         zr = _nearest_resize(z[:, 1:], f - 1, h, w)
         return jnp.concatenate([zf, zr], axis=1)
@@ -235,7 +239,8 @@ def _nearest_resize_causal(z: jnp.ndarray, f: int, h: int, w: int) -> jnp.ndarra
 
 
 def _spatial_norm3d(
-    p: Params, x: jnp.ndarray, zq: jnp.ndarray, groups: int, eps: float
+    p: Params, x: jnp.ndarray, zq: jnp.ndarray, groups: int, eps: float,
+    first: bool = True,
 ) -> jnp.ndarray:
     """GroupNorm(x) modulated by conv_y/conv_b of the (nearest-upsampled)
     latent.
@@ -249,8 +254,8 @@ def _spatial_norm3d(
     B, F, H, W, C = x.shape
     conv_y, _ = causal_conv3d(p["conv_y"], zq, None)
     conv_b, _ = causal_conv3d(p["conv_b"], zq, None)
-    conv_y = _nearest_resize_causal(conv_y, F, H, W)
-    conv_b = _nearest_resize_causal(conv_b, F, H, W)
+    conv_y = _nearest_resize_causal(conv_y, F, H, W, first)
+    conv_b = _nearest_resize_causal(conv_b, F, H, W, first)
     normed = _group_norm(p["norm_layer"], x, groups, eps)
     return normed * conv_y + conv_b
 
@@ -267,11 +272,14 @@ def _resnet(
     cache: Cache,
     new_cache: Cache,
     path: str,
+    first: bool = True,
 ) -> jnp.ndarray:
     def norm(name: str, h: jnp.ndarray) -> jnp.ndarray:
         if zq is None:
             return _group_norm(p[name], h, cfg.norm_num_groups, cfg.norm_eps)
-        return _spatial_norm3d(p[name], h, zq, cfg.norm_num_groups, cfg.norm_eps)
+        return _spatial_norm3d(
+            p[name], h, zq, cfg.norm_num_groups, cfg.norm_eps, first
+        )
 
     h = jax.nn.silu(norm("norm1", x))
     h, new_cache[f"{path}.conv1"] = causal_conv3d(
@@ -303,15 +311,22 @@ def _downsample(p: Params, x: jnp.ndarray, compress_time: bool) -> jnp.ndarray:
     return _conv2d(p["conv"], x, strides=(2, 2))
 
 
-def _upsample(p: Params, x: jnp.ndarray, compress_time: bool) -> jnp.ndarray:
-    """2x nearest upsample (spatial, and temporal when compress_time) + conv."""
+def _upsample(
+    p: Params, x: jnp.ndarray, compress_time: bool, first: bool = True
+) -> jnp.ndarray:
+    """2x nearest upsample (spatial, and temporal when compress_time) + conv.
+
+    The causal convention replicates the clip's FIRST frame alone (an odd
+    segment length means the leading frame is the clip start). For a
+    continuation segment (``first=False``, streaming cache-threaded decode)
+    every frame doubles — the clip's first frame lives in segment 0."""
     B, F, H, W, C = x.shape
     if compress_time:
-        if F > 1 and F % 2 == 1:
-            first = _nearest_resize(x[:, :1], 1, H * 2, W * 2)
+        if first and F > 1 and F % 2 == 1:
+            head = _nearest_resize(x[:, :1], 1, H * 2, W * 2)
             rest = _nearest_resize(x[:, 1:], (F - 1) * 2, H * 2, W * 2)
-            x = jnp.concatenate([first, rest], axis=1)
-        elif F > 1:
+            x = jnp.concatenate([head, rest], axis=1)
+        elif F > 1 or not first:
             x = _nearest_resize(x, F * 2, H * 2, W * 2)
         else:
             x = _nearest_resize(x, 1, H * 2, W * 2)
@@ -353,24 +368,37 @@ def encoder_forward(
 def decoder_forward(
     cfg: VAEConfig, params: Params, z: jnp.ndarray, cache: Cache | None
 ) -> tuple[jnp.ndarray, Cache]:
-    """Latent [B, F', H/8, W/8, latent] -> pixels [B, F, H, W, 3] in [-1, 1]."""
+    """Latent [B, F', H/8, W/8, latent] -> pixels [B, F, H, W, 3] in [-1, 1].
+
+    ``cache is None`` marks the CLIP's first segment: the leading latent is
+    the causally-special first frame (odd-length temporal upsampling, causal
+    left padding). With a cache, this is a continuation segment — uniform
+    temporal upsampling and conv left-context from the cache."""
+    first = cache is None
     cache = cache or {}
     nc: Cache = {}
     h, nc["conv_in"] = causal_conv3d(params["conv_in"], z, cache.get("conv_in"))
 
     for j in range(2):
-        h = _resnet(cfg, params["mid_block"]["resnets"][j], h, z, cache, nc, f"mid.{j}")
+        h = _resnet(
+            cfg, params["mid_block"]["resnets"][j], h, z, cache, nc,
+            f"mid.{j}", first,
+        )
 
     n_blocks = len(cfg.block_out_channels)
     for i in range(n_blocks):
         bp = params["up_blocks"][i]
         for j in range(cfg.layers_per_block + 1):
-            h = _resnet(cfg, bp["resnets"][j], h, z, cache, nc, f"up.{i}.res.{j}")
+            h = _resnet(
+                cfg, bp["resnets"][j], h, z, cache, nc, f"up.{i}.res.{j}", first
+            )
         if i < n_blocks - 1:
-            h = _upsample(bp["upsampler"], h, i < cfg.temporal_compress_level)
+            h = _upsample(bp["upsampler"], h, i < cfg.temporal_compress_level, first)
 
     h = jax.nn.silu(
-        _spatial_norm3d(params["norm_out"], h, z, cfg.norm_num_groups, cfg.norm_eps)
+        _spatial_norm3d(
+            params["norm_out"], h, z, cfg.norm_num_groups, cfg.norm_eps, first
+        )
     )
     h, nc["conv_out"] = causal_conv3d(params["conv_out"], h, cache.get("conv_out"))
     return h, nc
@@ -393,17 +421,47 @@ def _frame_chunks(num_frames: int, batch: int) -> list[tuple[int, int]]:
     return spans
 
 
-def encode_moments(
-    cfg: VAEConfig, params: Params, video: jnp.ndarray, chunk_frames: int | None = None
-) -> jnp.ndarray:
-    """Full-clip encode with frame chunking. video: [B, F, H, W, 3] in [-1,1]."""
+def encode_moments_cached(
+    cfg: VAEConfig,
+    params: Params,
+    video: jnp.ndarray,
+    cache: Cache | None,
+    chunk_frames: int | None = None,
+) -> tuple[jnp.ndarray, Cache]:
+    """Segment encode threading the causal conv cache ACROSS calls.
+
+    The streaming pipeline (dove_tpu/pipeline.py) feeds a long clip through
+    fixed-size segments: the first segment starts with ``cache=None`` (clip
+    start: causal first-frame padding), every later call passes the previous
+    call's returned cache. Continuation segments MUST have a frame count
+    divisible by ``temporal_compression_ratio`` so the temporal mean-pool
+    windows stay aligned with whole-clip processing (``_downsample`` treats
+    an odd leading frame as the clip's causal first frame).
+
+    Causal-conv continuity across segments is exact; GroupNorm statistics
+    span each internal frame chunk (same character as diffusers'
+    frame-batched processing — see tests/test_vae.py header note).
+    """
+    if cache is not None:
+        assert video.shape[1] % cfg.temporal_compression_ratio == 0, (
+            "continuation segments must be a multiple of the temporal ratio",
+            video.shape,
+        )
     chunk = chunk_frames or cfg.sample_frames_batch_size
-    cache: Cache | None = None
     outs = []
     for s, e in _frame_chunks(video.shape[1], chunk):
         m, cache = encoder_forward(cfg, params["encoder"], video[:, s:e], cache)
         outs.append(m)
-    return jnp.concatenate(outs, axis=1)
+    moments = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    return moments, cache
+
+
+def encode_moments(
+    cfg: VAEConfig, params: Params, video: jnp.ndarray, chunk_frames: int | None = None
+) -> jnp.ndarray:
+    """Full-clip encode with frame chunking. video: [B, F, H, W, 3] in [-1,1]."""
+    moments, _ = encode_moments_cached(cfg, params, video, None, chunk_frames)
+    return moments
 
 
 def sample_latent(
@@ -420,18 +478,37 @@ def sample_latent(
     return mean * jnp.asarray(scaling_factor, mean.dtype)
 
 
+def decode_cached(
+    cfg: VAEConfig,
+    params: Params,
+    latent: jnp.ndarray,
+    cache: Cache | None,
+    chunk_frames: int | None = None,
+) -> tuple[jnp.ndarray, Cache]:
+    """Segment decode threading the causal conv cache ACROSS calls.
+
+    Counterpart of :func:`encode_moments_cached` for the streaming pipeline:
+    the first latent segment of a clip passes ``cache=None`` (its leading
+    latent is the clip's causal first frame), later segments pass the
+    previous call's cache and get exact causal-conv continuity. Continuation
+    segments see only even temporal upsampling (the odd-first-frame rule
+    applies to the clip's global first latent, which lives in segment 0)."""
+    chunk = chunk_frames or cfg.latent_frames_batch_size
+    outs = []
+    for s, e in _frame_chunks(latent.shape[1], chunk):
+        y, cache = decoder_forward(cfg, params["decoder"], latent[:, s:e], cache)
+        outs.append(y)
+    pixels = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    return pixels, cache
+
+
 def decode(
     cfg: VAEConfig, params: Params, latent: jnp.ndarray, chunk_frames: int | None = None
 ) -> jnp.ndarray:
     """Full-clip decode with latent-frame chunking. latent: [B, F', h, w, C]
     already divided by scaling_factor."""
-    chunk = chunk_frames or cfg.latent_frames_batch_size
-    cache: Cache | None = None
-    outs = []
-    for s, e in _frame_chunks(latent.shape[1], chunk):
-        y, cache = decoder_forward(cfg, params["decoder"], latent[:, s:e], cache)
-        outs.append(y)
-    return jnp.concatenate(outs, axis=1)
+    pixels, _ = decode_cached(cfg, params, latent, None, chunk_frames)
+    return pixels
 
 
 # ---------------------------------------------------------------------------

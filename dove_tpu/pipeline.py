@@ -34,6 +34,57 @@ from dove_tpu.ops.scheduler import Schedule
 
 logger = logging.getLogger(__name__)
 
+# Streaming segmented staged path: fixed pixel-segment sizes so every clip
+# length reuses the same compiled programs (the first segment carries the
+# causally-special first frame; steady segments are a multiple of the 4x
+# temporal ratio; a short tail compiles on demand, once per process).
+STREAM_SEG0_PX = 33
+STREAM_SEG_PX = 32
+
+
+def plan_stream_segments(num_frames: int) -> list[tuple[int, int]]:
+    """Contiguous (start, end) pixel-frame segments: [33] + [32]*k + tail.
+
+    num_frames must satisfy the causal-VAE frame rule ((F-1) % 4 == 0), so
+    every boundary after the first segment is a multiple of 4 — keeping the
+    temporal pooling/upsampling windows aligned with whole-clip processing.
+    """
+    assert (num_frames - 1) % 4 == 0, num_frames
+    bounds = [(0, min(STREAM_SEG0_PX, num_frames))]
+    start = STREAM_SEG0_PX
+    while start < num_frames:
+        bounds.append((start, min(start + STREAM_SEG_PX, num_frames)))
+        start += STREAM_SEG_PX
+    return bounds
+
+
+def plan_dit_windows(
+    n_lat: int, window: int, overlap: int
+) -> list[tuple[int, int, int, int]]:
+    """Overlapping DiT windows over the latent stream -> (ws, we, klo, khi).
+
+    Each window spans stream latents [ws, we); its kept (written) region is
+    [klo, khi) in WINDOW-local coordinates. Interior boundaries sit at the
+    midpoint of each overlap — the latent-space analog of the reference's
+    overlap_t//2 pixel trim (/root/reference/inference_script.py:332-357).
+    The last window is right-aligned so all windows share one compiled
+    shape; every stream latent is written exactly once.
+    """
+    if n_lat <= window:
+        return [(0, n_lat, 0, n_lat)]
+    stride = max(window - overlap, 1)
+    n = -(-(n_lat - window) // stride) + 1
+    starts = [min(i * stride, n_lat - window) for i in range(n)]
+    bounds = [0]
+    for prev, s in zip(starts[:-1], starts[1:]):
+        cover = prev + window - s  # actual overlap (>= overlap)
+        bounds.append(s + (cover + 1) // 2)
+    bounds.append(n_lat)
+    return [
+        (s, s + window, bounds[i] - s, bounds[i + 1] - s)
+        for i, s in enumerate(starts)
+    ]
+
 
 @dataclasses.dataclass
 class DovePipeline:
@@ -68,6 +119,29 @@ class DovePipeline:
     # convention) + 2x2 chroma averaging runs on device. Not for PNG /
     # yuv444p / lossless outputs or when inline metrics need RGB.
     output_i420: bool = False
+    # Streaming segmented long-clip path ("auto" | True | False): process
+    # clips > one DiT pass as contiguous fixed-size segments whose causal
+    # conv caches thread ACROSS segment calls (exact continuity — zero VAE
+    # overlap recompute, no decode seams), with only the DiT running on
+    # overlapping latent windows trimmed at overlap midpoints. "auto"
+    # enables it for the int8 serving mode: the resident window caches
+    # (~3.7 GB encode / ~5.8 GB decode at 720p) fit next to a 5.2 GB int8
+    # DiT on a 16 GB chip but not next to the 10.4 GB bf16 DiT, so bf16
+    # keeps the legacy overlap-chunk path (which is also the
+    # reference-semantics path: per-chunk decode + pixel trim,
+    # /root/reference/inference_script.py:690-727).
+    streaming: str | bool = "auto"
+    # DiT window geometry for the streaming path, in latent frames. The
+    # 10/2 defaults match the legacy 33-frame chunks at overlap_t=8: a
+    # 33-px chunk is 9 latents + 1 patch_size_t pad = the same S, and 8 px
+    # frames of overlap = 2 latent frames.
+    dit_window_latents: int = 10
+    dit_overlap_latents: int = 2
+    # Latent-frame sub-batch for streaming decode segments (diffusers'
+    # num_latent_frames_batch_size character). Small values bound decoder
+    # activation temps (~1 GB per latent frame at 46x42 windows) next to
+    # the resident cross-segment conv caches.
+    stream_decode_latents: int = 2
 
     def __post_init__(self):
         self.schedule = Schedule.create(self.config.scheduler)
@@ -103,6 +177,7 @@ class DovePipeline:
         # these accurate at zero extra cost.
         self.stage_times: dict[str, float] = {}
         self._mesh_key = None  # cache for mesh-replicated params
+        self._stream: dict[str, Callable] = {}
 
     # ------------------------------------------------------------------
     # Device-side one-step SR for a single tile
@@ -185,16 +260,48 @@ class DovePipeline:
         finishes; a host data dependency cannot."""
         np.asarray(jax.device_get(x[(0,) * x.ndim]))
 
-    @staticmethod
-    def _parallel_get(x: jnp.ndarray, parts: int = 64, workers: int = 32) -> np.ndarray:
+    # one-time host-link probe result: True => link is fast enough that
+    # multi-stream pulls only add thread overhead (directly-attached TPU).
+    _fast_link: bool | None = None
+
+    @classmethod
+    def _parallel_get(
+        cls, x: jnp.ndarray, parts: int | None = None, workers: int | None = None
+    ) -> np.ndarray:
         """Device->host pull over parallel streams.
 
-        The relay-backed host link is per-stream bound (~13 MB/s single
-        stream); concurrent pulls of contiguous chunks reach ~63 MB/s at
-        64 parts x 32 threads (measured; >32 worker threads can deadlock the
-        relay client — do not raise). Small arrays pull directly."""
+        Tunneled/relay-backed TPU runtimes are PER-STREAM bound (~13 MB/s
+        single stream on the measured link); concurrent pulls of contiguous
+        chunks reach ~63 MB/s at the default 64 parts x 32 threads
+        (measured; >32 worker threads can deadlock the relay client — do
+        not raise the default). Directly-attached chips pull GB/s on one
+        stream, so the first large pull probes the link and disables the
+        multi-stream workaround on fast links. Tunables:
+        ``DOVE_PULL_PARTS`` / ``DOVE_PULL_THREADS`` (0 parts = force
+        single-stream). Small arrays always pull directly."""
+        import os
+
         nbytes = x.size * x.dtype.itemsize
         if nbytes < (8 << 20):
+            return np.asarray(jax.device_get(x))
+        if parts is None:
+            parts = int(os.environ.get("DOVE_PULL_PARTS", "64"))
+        if workers is None:
+            workers = int(os.environ.get("DOVE_PULL_THREADS", "32"))
+        if cls._fast_link is None and "DOVE_PULL_PARTS" not in os.environ:
+            # Probe with the first 4 MB: >500 MB/s single-stream means the
+            # parallel-stream workaround would only add thread-hop overhead.
+            probe = x.reshape(-1)[: (4 << 20) // x.dtype.itemsize]
+            t0 = time.time()
+            np.asarray(jax.device_get(probe))
+            bw = probe.size * x.dtype.itemsize / max(time.time() - t0, 1e-9)
+            cls._fast_link = bw > 500e6
+            if cls._fast_link:
+                logger.info(
+                    "host link probe: %.0f MB/s single-stream — using "
+                    "direct pulls", bw / 1e6,
+                )
+        if parts <= 1 or cls._fast_link:
             return np.asarray(jax.device_get(x))
         from concurrent.futures import ThreadPoolExecutor
 
@@ -286,28 +393,55 @@ class DovePipeline:
         out = jnp.concatenate(result_rows, axis=h_ax)
         return sl(sl(out, 0, out_h, h_ax), 0, out_w, w_ax)
 
+    def _window_budget(self) -> tuple[int, tuple[int, int], tuple[int, int]]:
+        """(blend_lat, (enc_max_h, enc_max_w), (dec_max_h, dec_max_w)).
+
+        Feather band: 2 latents (16 px) — hides seams at every measured
+        geometry. Max tile areas are HBM-budgeted: decoder temps scale
+        ~linearly with latent tile area (measured 2.6 GB at 24x24 next to
+        a 10.4 GB bf16 DiT); int8 halves the resident DiT (10.4 -> 5.2 GB),
+        buying 46-latent tiles: a 720p clip (90x160 latent) plans 2x4
+        windows of 46x42 (1.09x redundant compute) instead of 3x5 of 32x34
+        (1.13x), and decoder temps stay ~8.7 GB for a 9-latent batch
+        (measured-linear in tile area from the 2.6 GB @ 24x24 bf16 point).
+        """
+        if self.quantize:
+            return 2, (46, 42), (46, 42)
+        return 2, (32, 32), (28, 28)
+
+    def _quantize_frames(self, out01: jnp.ndarray) -> jnp.ndarray:
+        """[B, F, H, W, 3] float in [0,1] -> uint8 RGB, or packed I420."""
+        Bp, Fp, Hp, Wp = out01.shape[:4]
+        if self.output_i420 and Hp % 2 == 0 and Wp % 2 == 0:
+            # BT.601 STUDIO-swing (Y 16-235, chroma 16-240) — cv2's
+            # I420<->BGR convention, so host-side cvtColor round-trips.
+            r, g, b = out01[..., 0], out01[..., 1], out01[..., 2]
+            ey = 0.299 * r + 0.587 * g + 0.114 * b
+            y = 16.0 + 219.0 * ey
+            u = 128.0 + (112.0 / 0.886) * (b - ey)
+            v = 128.0 + (112.0 / 0.701) * (r - ey)
+            u2 = u.reshape(Bp, Fp, Hp // 2, 2, Wp // 2, 2).mean(axis=(3, 5))
+            v2 = v.reshape(Bp, Fp, Hp // 2, 2, Wp // 2, 2).mean(axis=(3, 5))
+
+            def q(x):
+                return jnp.round(jnp.clip(x, 0.0, 255.0)).astype(jnp.uint8)
+
+            flat = jnp.concatenate(
+                [q(y).reshape(Bp, Fp, -1), q(u2).reshape(Bp, Fp, -1),
+                 q(v2).reshape(Bp, Fp, -1)], axis=2,
+            )
+            return flat.reshape(Bp, Fp, Hp * 3 // 2, Wp)
+        return jnp.round(out01 * 255.0).astype(jnp.uint8)
+
     def _staged_fns(self):
         if self._staged:
             return self._staged
         cfg = self.config
         s = cfg.vae.spatial_scale
 
-        # Feather band: 2 latents (16 px) — hides seams at every measured
-        # geometry. Max tile areas are HBM-budgeted: decoder temps scale
-        # ~linearly with latent tile area (measured 2.6 GB at 24x24 next to
-        # a 10.4 GB bf16 DiT); int8 halves the resident DiT, buying larger
-        # tiles -> fewer tiles -> less redundant feather compute.
-        BLEND_LAT = 2
-        if self.quantize:
-            # int8 halves the resident DiT (10.4 -> 5.2 GB), buying 46-latent
-            # tiles: a 720p clip (90x160 latent) plans 2x4 windows of 46x42
-            # (1.09x redundant compute) instead of 3x5 of 32x34 (1.13x), and
-            # decoder temps stay ~8.7 GB (measured-linear in tile area from
-            # the 2.6 GB @ 24x24 bf16 point).
-            (enc_max_h, enc_max_w) = (dec_max_h, dec_max_w) = (46, 42)
-        else:
-            enc_max_h = enc_max_w = 32
-            dec_max_h = dec_max_w = 28
+        BLEND_LAT, (enc_max_h, enc_max_w), (dec_max_h, dec_max_w) = (
+            self._window_budget()
+        )
 
         def enc_all(params, lq):
             """Upscale + window + encode + feather-assemble, ONE program.
@@ -387,29 +521,7 @@ class DovePipeline:
                     zh * s, zw * s,
                 )
             out01 = jnp.clip(pixels.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
-            Bp, Fp, Hp, Wp = out01.shape[:4]
-            if self.output_i420 and Hp % 2 == 0 and Wp % 2 == 0:
-                # BT.601 STUDIO-swing (Y 16-235, chroma 16-240) — cv2's
-                # I420<->BGR convention, so host-side cvtColor round-trips.
-                r, g, b = out01[..., 0], out01[..., 1], out01[..., 2]
-                ey = 0.299 * r + 0.587 * g + 0.114 * b
-                y = 16.0 + 219.0 * ey
-                u = 128.0 + (112.0 / 0.886) * (b - ey)
-                v = 128.0 + (112.0 / 0.701) * (r - ey)
-                u2 = u.reshape(Bp, Fp, Hp // 2, 2, Wp // 2, 2).mean(axis=(3, 5))
-                v2 = v.reshape(Bp, Fp, Hp // 2, 2, Wp // 2, 2).mean(axis=(3, 5))
-
-                def q(x):
-                    return jnp.round(
-                        jnp.clip(x, 0.0, 255.0)
-                    ).astype(jnp.uint8)
-
-                flat = jnp.concatenate(
-                    [q(y).reshape(Bp, Fp, -1), q(u2).reshape(Bp, Fp, -1),
-                     q(v2).reshape(Bp, Fp, -1)], axis=2,
-                )
-                return flat.reshape(Bp, Fp, Hp * 3 // 2, Wp)
-            return jnp.round(out01 * 255.0).astype(jnp.uint8)
+            return self._quantize_frames(out01)
 
         def dit_step(dit_params, prompt, moments, rng):
             # moments: [B, F', h, w, 2C] -> sample, one-step denoise, unscale
@@ -435,6 +547,269 @@ class DovePipeline:
             "dit": jax.jit(dit_step),
         }
         return self._staged
+
+    # ------------------------------------------------------------------
+    # Streaming segmented path: long clips as contiguous fixed-size
+    # segments with causal conv caches threaded ACROSS segment calls.
+    #
+    # The legacy long-clip path re-runs the whole enc->DiT->dec stack on
+    # overlapping 33-frame chunks (1.32x redundant compute at overlap_t=8,
+    # reference semantics). But only the DiT actually needs temporal
+    # windowing (attention is quadratic in S); the causal VAE streams
+    # exactly. So: encode segments with cache handoff (zero overlap),
+    # run the DiT on overlapping windows over the tiny latent stream
+    # (trim at overlap midpoints, latent space), then decode the stitched
+    # latent stream with cache handoff (zero overlap, no decode seams).
+    # The latent/x0 streams live on HOST (tiny: ~0.9 MB per latent frame
+    # at 720p in bf16), which keeps every device program's shape
+    # independent of clip length — any length reuses the same compiled
+    # segment programs.
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _free(tree) -> None:
+        """Eagerly release a pytree's device buffers (e.g. the ~GB-scale
+        conv caches between the encode and decode phases)."""
+        for leaf in jax.tree_util.tree_leaves(tree):
+            try:
+                leaf.delete()
+            except Exception:  # pragma: no cover - already donated/deleted
+                pass
+
+    def _stream_enabled(self, mesh) -> bool:
+        import os
+
+        env = os.environ.get("DOVE_STREAMING")
+        if env is not None:
+            return env not in ("0", "false", "off")
+        if mesh is not None and mesh.shape.get("data", 1) > 1:
+            # chunk-parallel mesh serving scales ~N-fold across chips;
+            # streaming is a single-chip path.
+            return False
+        if self.streaming == "auto":
+            # bf16 cannot hold the decode-phase conv caches next to a
+            # 10.4 GB resident DiT on a 16 GB chip; int8 can.
+            return self.quantize == "int8"
+        return bool(self.streaming)
+
+    def _stream_fns(self):
+        if self._stream:
+            return self._stream
+        cfg = self.config
+        s = cfg.vae.spatial_scale
+        BLEND_LAT, (enc_max_h, enc_max_w), (dec_max_h, dec_max_w) = (
+            self._window_budget()
+        )
+
+        def enc_seg(params, lq, rng, cache):
+            """
+
+            x4-upscale + window + cache-threaded encode + feathered
+            assembly + posterior sample, ONE program per segment.
+            lq: [1, f, H, W, 3] in [-1, 1] at LQ resolution; cache is None
+            for the clip's first segment, else the previous segment's
+            per-window cache stack. Returns (scaled latent segment, cache).
+            """
+            B, F, H, W, _ = lq.shape
+            u = cfg.upscale
+            Hu, Wu = H * u, W * u
+            up = jax.image.resize(
+                lq.astype(jnp.float32), (B, F, Hu, Wu, 3), "bilinear"
+            ).astype(lq.dtype)
+            lat_h, lat_w = Hu // s, Wu // s
+            tile_h, stride_h, n_rows = self._plan_axis(lat_h, BLEND_LAT, enc_max_h)
+            tile_w, stride_w, n_cols = self._plan_axis(lat_w, BLEND_LAT, enc_max_w)
+            if n_rows == 1 and n_cols == 1:
+                m, nc = vae_mod.encode_moments_cached(cfg.vae, params, up, cache)
+            else:
+                th, tw = tile_h * s, tile_w * s
+                cover_h = ((n_rows - 1) * stride_h + tile_h) * s
+                cover_w = ((n_cols - 1) * stride_w + tile_w) * s
+                up = jnp.pad(
+                    up,
+                    ((0, 0), (0, 0), (0, cover_h - Hu), (0, cover_w - Wu), (0, 0)),
+                    mode="edge",
+                )
+                coords = jnp.asarray(
+                    [(r * stride_h * s, c * stride_w * s)
+                     for r in range(n_rows) for c in range(n_cols)], jnp.int32
+                )
+
+                def one(args):
+                    ij, c = args if cache is not None else (args, None)
+                    tile = jax.lax.dynamic_slice(
+                        up, (0, 0, ij[0], ij[1], 0), (B, F, th, tw, 3)
+                    )
+                    return vae_mod.encode_moments_cached(cfg.vae, params, tile, c)
+
+                tiles, nc = jax.lax.map(
+                    one, (coords, cache) if cache is not None else coords
+                )
+                m = self._feather_assemble(
+                    tiles, n_rows, n_cols,
+                    BLEND_LAT if n_rows > 1 else 0,
+                    BLEND_LAT if n_cols > 1 else 0,
+                    lat_h, lat_w,
+                )
+            lat = vae_mod.sample_latent(
+                m, rng if self.sample_posterior else None, cfg.vae.scaling_factor
+            )
+            return lat, nc
+
+        def dit_win(dit_params, prompt, lat_win, rng):
+            """One-step denoise of a latent window [1, w, h, w, C] (scaled);
+            returns x0 UNSCALED (divided by scaling_factor), decode-ready."""
+            from dove_tpu.train.losses import one_step_x0_latent
+
+            B = lat_win.shape[0]
+            text = jnp.broadcast_to(prompt[None], (B,) + prompt.shape)
+            x0 = one_step_x0_latent(
+                cfg, self.schedule, dit_params, lat_win, text, rng,
+                remat=False, attention_backend=self.attention_backend,
+                bounded_logits=True,
+            )
+            return x0 / jnp.asarray(cfg.vae.scaling_factor, x0.dtype)
+
+        def dec_seg(params, z, cache):
+            """Window + cache-threaded decode + feathered assembly + uint8
+            quantize, ONE program per segment. z: [1, f', h, w, C] unscaled
+            latent segment. Returns (uint8/I420 pixels, cache)."""
+            B, Fl, zh, zw, C = z.shape
+            fb = self.stream_decode_latents
+            tile_h, stride_h, n_rows = self._plan_axis(zh, BLEND_LAT, dec_max_h)
+            tile_w, stride_w, n_cols = self._plan_axis(zw, BLEND_LAT, dec_max_w)
+            if n_rows == 1 and n_cols == 1:
+                pixels, nc = vae_mod.decode_cached(cfg.vae, params, z, cache, fb)
+            else:
+                cover_h = (n_rows - 1) * stride_h + tile_h
+                cover_w = (n_cols - 1) * stride_w + tile_w
+                zp = jnp.pad(
+                    z,
+                    ((0, 0), (0, 0), (0, cover_h - zh), (0, cover_w - zw), (0, 0)),
+                    mode="edge",
+                ) if cover_h > zh or cover_w > zw else z
+                coords = jnp.asarray(
+                    [(r * stride_h, c * stride_w)
+                     for r in range(n_rows) for c in range(n_cols)], jnp.int32
+                )
+
+                def one(args):
+                    ij, c = args if cache is not None else (args, None)
+                    tile = jax.lax.dynamic_slice(
+                        zp, (0, 0, ij[0], ij[1], 0), (B, Fl, tile_h, tile_w, C)
+                    )
+                    return vae_mod.decode_cached(cfg.vae, params, tile, c, fb)
+
+                tiles, nc = jax.lax.map(
+                    one, (coords, cache) if cache is not None else coords
+                )
+                pixels = self._feather_assemble(
+                    tiles, n_rows, n_cols,
+                    (BLEND_LAT if n_rows > 1 else 0) * s,
+                    (BLEND_LAT if n_cols > 1 else 0) * s,
+                    zh * s, zw * s,
+                )
+            out01 = jnp.clip(pixels.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
+            return self._quantize_frames(out01), nc
+
+        self._stream = {
+            # first-segment variants trace with cache=None (fresh caches
+            # out); steady variants DONATE the incoming cache so the
+            # multi-GB cache stacks never exist twice in HBM.
+            "enc0": jax.jit(lambda p, lq, rng: enc_seg(p, lq, rng, None)),
+            "enc": jax.jit(enc_seg, donate_argnums=(3,)),
+            "dit": jax.jit(dit_win),
+            "dec0": jax.jit(lambda p, z: dec_seg(p, z, None)),
+            "dec": jax.jit(dec_seg, donate_argnums=(2,)),
+        }
+        return self._stream
+
+    def _sr_clip_streamed(self, clip: np.ndarray, rng: jax.Array) -> np.ndarray:
+        """Streaming SR of a whole clip. clip: [F, H, W, 3] np float32 in
+        [-1, 1] at LQ resolution with (F-1) % 4 == 0. Returns the full
+        uint8 RGB [F, H*u, W*u, 3] (or packed I420) clip."""
+        import os
+
+        timing = bool(os.environ.get("DOVE_STAGE_TIMING"))
+        fns = self._stream_fns()
+        cfg = self.config
+        F, Hl, Wl, _ = clip.shape
+        u = cfg.upscale
+        sscale = cfg.vae.spatial_scale
+        n_lat = cfg.vae.latent_frames(F)
+        lat_h, lat_w = Hl * u // sscale, Wl * u // sscale
+        segs = plan_stream_segments(F)
+        lat0 = cfg.vae.latent_frames(segs[0][1])  # latents in segment 0
+
+        def lat_span(i: int) -> tuple[int, int]:
+            s0, e0 = segs[i]
+            if i == 0:
+                return 0, lat0
+            ls = lat0 + (s0 - segs[0][1]) // 4
+            return ls, ls + (e0 - s0) // 4
+
+        rng_enc, rng_dit = jax.random.split(rng)
+        np_bf16 = np.asarray(jnp.zeros((), self.dtype)).dtype
+
+        # ---- encode: exact cache handoff, zero overlap ----
+        t0 = time.time()
+        lat_stream = np.empty(
+            (1, n_lat, lat_h, lat_w, cfg.vae.latent_channels), np_bf16
+        )
+        cache = None
+        for i, (s0, e0) in enumerate(segs):
+            seg = jnp.asarray(clip[None, s0:e0], self.dtype)
+            step_rng = jax.random.fold_in(rng_enc, i)
+            if cache is None:
+                lat, cache = fns["enc0"](self.vae_params, seg, step_rng)
+            else:
+                lat, cache = fns["enc"](self.vae_params, seg, step_rng, cache)
+            ls, le = lat_span(i)
+            lat_stream[:, ls:le] = np.asarray(lat)
+        self._free(cache)  # ~3.7 GB of encoder window caches at 720p
+        t1 = time.time()
+        self.stage_times["enc"] = self.stage_times.get("enc", 0.0) + (t1 - t0)
+        if timing:
+            print(f"stream enc: {t1 - t0:.2f}s ({len(segs)} segments)", flush=True)
+
+        # ---- DiT: overlapping windows, midpoint trim in latent space ----
+        wplan = plan_dit_windows(
+            n_lat, self.dit_window_latents, self.dit_overlap_latents
+        )
+        x0_stream = np.empty_like(lat_stream)
+        for j, (ws, we, klo, khi) in enumerate(wplan):
+            win = jnp.asarray(lat_stream[:, ws:we])
+            x0 = fns["dit"](
+                self.dit_params, self.prompt_embedding, win,
+                jax.random.fold_in(rng_dit, j),
+            )
+            x0_stream[:, ws + klo : ws + khi] = np.asarray(x0)[:, klo:khi]
+        t2 = time.time()
+        self.stage_times["dit"] = self.stage_times.get("dit", 0.0) + (t2 - t1)
+        if timing:
+            print(f"stream dit: {t2 - t1:.2f}s ({len(wplan)} windows)", flush=True)
+
+        # ---- decode: exact cache handoff, zero overlap, no seams ----
+        Hp, Wp = Hl * u, Wl * u
+        i420 = self.output_i420
+        out = np.empty(
+            (F, Hp * 3 // 2, Wp) if i420 else (F, Hp, Wp, 3), np.uint8
+        )
+        cache = None
+        for i, (s0, e0) in enumerate(segs):
+            ls, le = lat_span(i)
+            z = jnp.asarray(x0_stream[:, ls:le])
+            if cache is None:
+                px, cache = fns["dec0"](self.vae_params, z)
+            else:
+                px, cache = fns["dec"](self.vae_params, z, cache)
+            out[s0:e0] = self._parallel_get(px)[0]
+        self._free(cache)  # ~5.8 GB of decoder window caches at 720p
+        t3 = time.time()
+        self.stage_times["dec"] = self.stage_times.get("dec", 0.0) + (t3 - t2)
+        if timing:
+            print(f"stream dec: {t3 - t2:.2f}s", flush=True)
+        return out
 
     def _sr_clip_staged(self, clip: np.ndarray, rng: jax.Array) -> np.ndarray:
         """One temporal chunk with on-device x4 upscale + internal VAE tiling.
@@ -616,6 +991,41 @@ class DovePipeline:
             # length (uniform stride -> exact-coverage trim works, and the
             # reference's merge-short-tail rule can't collapse the plan).
             MAX_FRAMES_PER_PASS = 33
+            if (
+                chunk_len == 0
+                and F > MAX_FRAMES_PER_PASS
+                and self._stream_enabled(mesh)
+            ):
+                # Streaming segmented path: exact causal-cache handoff
+                # across fixed-size segments (no VAE overlap recompute, no
+                # decode seams); only the DiT runs on overlapping latent
+                # windows. Frames pad up to the causal rule and trim after.
+                valid_nf = tiling.next_valid_frames(F)
+                data = lq
+                if valid_nf != F:
+                    data = np.concatenate(
+                        [data, np.repeat(data[-1:], valid_nf - F, axis=0)],
+                        axis=0,
+                    )
+                if _timing:
+                    print(f"stage pre: {time.time() - _t_pre:.2f}s", flush=True)
+                out = self._sr_clip_streamed(data, jax.random.PRNGKey(seed))[:F]
+                if pad_f:
+                    out = out[:-pad_f]
+                if (pad_h or pad_w) and video_io.is_i420(out):
+                    Hp2 = out.shape[1] * 2 // 3
+                    out = tiling.i420_crop(
+                        out, Hp2 - pad_h * upscale,
+                        out.shape[2] - pad_w * upscale,
+                    )
+                else:
+                    if pad_h:
+                        out = out[:, : -pad_h * upscale]
+                    if pad_w:
+                        out = out[:, :, : -pad_w * upscale]
+                if not self.output_uint8:
+                    return out.astype(np.float32) / 255.0
+                return out
             if chunk_len == 0 and F > MAX_FRAMES_PER_PASS:
                 chunk_len = MAX_FRAMES_PER_PASS
                 logger.warning(

@@ -70,7 +70,8 @@ def build_parser() -> argparse.ArgumentParser:
              "driven directly — reference writes x264 crf0 yuv444p; the "
              "encoder consumes yuv420, so mp4 runs pull device-side I420, "
              "half the host-link bytes); "
-             "lossless -> PNG frame directory (exact, like --png_save)",
+             "lossless -> FFV1/mkv, bit-exact round trip (the reference's "
+             "lossless artifact; HuffYUV then PNG-frames fallback)",
     )
     p.add_argument("--tile_size_hw", type=int, nargs=2, default=(0, 0))
     p.add_argument("--overlap_hw", type=int, nargs=2, default=(32, 32))
@@ -86,6 +87,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="N-chip data mesh: shards tile batches (fused path) "
                         "or temporal chunks (staged --is_vae_st path) — "
                         "independent work, ~N-fold wall-time cut")
+    p.add_argument("--streaming", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="long-clip streaming: contiguous segments with "
+                        "causal conv caches threaded across calls (zero VAE "
+                        "overlap recompute, no decode seams; only the DiT "
+                        "windows temporally). auto = on for --quantize int8 "
+                        "single-chip (bf16 keeps the reference-semantics "
+                        "overlap-chunk path: its caches don't fit next to "
+                        "the bf16 DiT on a 16 GB chip)")
     return p
 
 
@@ -181,6 +191,7 @@ def load_pipeline(args):
             args.is_vae_st and not args.eval_metrics and not args.png_save
             and args.save_format != "lossless"
         ),
+        streaming={"auto": "auto", "on": True, "off": False}[args.streaming],
     )
 
 
@@ -199,6 +210,17 @@ def main(argv=None):
     out_dir.mkdir(parents=True, exist_ok=True)
 
     pipe = load_pipeline(args)
+
+    if args.gt_dir and not args.png_save and args.save_format != "lossless":
+        logging.warning(
+            "--gt_dir with --save_format %s: the written mp4 is LOSSY "
+            "(OpenCV cannot drive x264 CRF), so file-based re-evaluation "
+            "(scripts/eval_metrics.py) on these outputs under-reports "
+            "quality vs the reference's crf0 workflow. Inline --eval_metrics "
+            "use the exact float frames; for exact files use "
+            "--save_format lossless (FFV1/mkv) or --png_save.",
+            args.save_format,
+        )
 
     metric_names = [m.strip() for m in args.eval_metrics.split(",") if m.strip()]
     accumulator = MetricAccumulator(metric_names) if metric_names else None
@@ -277,9 +299,16 @@ def main(argv=None):
 
         # overlap the (host-only) encode/write of this clip with the next
         # clip's device work
-        if args.png_save or args.save_format == "lossless":
+        if args.png_save:
             save_futures.append(save_pool.submit(
                 video_io.save_frames_as_png, out, out_dir / vpath.stem
+            ))
+        elif args.save_format == "lossless":
+            # FFV1/mkv — bit-exact round trip (the reference's lossless
+            # artifact); falls back to HuffYUV, then PNG frames
+            save_futures.append(save_pool.submit(
+                video_io.save_video_lossless, out,
+                out_dir / (vpath.stem + ".mkv"), args.fps,
             ))
         else:
             save_futures.append(save_pool.submit(

@@ -148,3 +148,25 @@ def test_inference_cli_data_parallel_staged(tmp_path, monkeypatch):
     cap = cv2.VideoCapture(str(out))
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 14
     assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 64
+
+
+def test_save_video_lossless_roundtrip(tmp_path):
+    """'lossless' must mean lossless: write -> read -> BIT-identical frames
+    (FFV1/mkv in this OpenCV build; reference writes a lossless mkv too,
+    /root/reference/inference_script.py:111-189)."""
+    from dove_tpu.io import video as video_io
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (4, 48, 64, 3), dtype=np.uint8)
+    path = video_io.save_video_lossless(frames, tmp_path / "clip.mkv")
+    if path.is_dir():  # PNG fallback build — still bit-exact
+        back = (video_io.read_image_folder(path) * 255).round().astype(np.uint8)
+    else:
+        back = (video_io.read_video_frames(path) * 255).round().astype(np.uint8)
+    np.testing.assert_array_equal(back, frames)
+
+    # float input path quantizes once, then round-trips exactly
+    f32 = frames.astype(np.float32) / 255.0
+    path2 = video_io.save_video_lossless(f32, tmp_path / "clip2.mkv")
+    back2 = (video_io.read_video_frames(path2) * 255).round().astype(np.uint8)
+    np.testing.assert_array_equal(back2, frames)

@@ -230,3 +230,108 @@ def test_staged_mesh_chunk_parallel_i420(params):
         params, vae_tiling=True, output_uint8=True, output_i420=True
     ).process_frames(frames, chunk_len=9, overlap_t=4, mesh=mesh)
     np.testing.assert_array_equal(par, seq)
+
+
+def test_plan_stream_segments():
+    from dove_tpu.pipeline import plan_stream_segments
+
+    assert plan_stream_segments(101) == [(0, 33), (33, 65), (65, 97), (97, 101)]
+    assert plan_stream_segments(33) == [(0, 33)]
+    assert plan_stream_segments(37) == [(0, 33), (33, 37)]
+    assert plan_stream_segments(13) == [(0, 13)]
+    # exact cover, contiguous, steady segments divisible by the 4x ratio
+    for f in (33, 37, 65, 97, 101, 129):
+        segs = plan_stream_segments(f)
+        assert segs[0][0] == 0 and segs[-1][1] == f
+        assert all(a[1] == b[0] for a, b in zip(segs, segs[1:]))
+        assert all((e - s) % 4 == 0 for s, e in segs[1:])
+
+
+def test_plan_dit_windows():
+    from dove_tpu.pipeline import plan_dit_windows
+
+    # short stream: single window
+    assert plan_dit_windows(9, 10, 2) == [(0, 9, 0, 9)]
+    for n_lat, w, ov in [(26, 10, 2), (25, 10, 2), (11, 10, 2), (40, 10, 2),
+                         (17, 10, 4), (26, 10, 0)]:
+        plan = plan_dit_windows(n_lat, w, ov)
+        # all windows share one compiled shape
+        assert all(we - ws == w for ws, we, _, _ in plan)
+        # keep regions tile the stream exactly once, in order
+        covered = []
+        for ws, we, klo, khi in plan:
+            assert 0 <= klo < khi <= w
+            covered.extend(range(ws + klo, ws + khi))
+        assert covered == list(range(n_lat))
+
+
+def test_streaming_long_clip(params):
+    """Streaming path: correct geometry, deterministic, engages only for
+    clips longer than one DiT pass."""
+    frames = np.random.default_rng(3).random((45, 16, 16, 3)).astype(np.float32)
+    p = _pipe(params, vae_tiling=True, output_uint8=True, streaming=True)
+    out = p.process_frames(frames)
+    assert out.shape == (45, 64, 64, 3) and out.dtype == np.uint8
+    assert set(p.stage_times) == {"enc", "dit", "dec"}
+    out2 = _pipe(
+        params, vae_tiling=True, output_uint8=True, streaming=True
+    ).process_frames(frames)
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_streaming_single_window_matches_legacy_single_chunk(params):
+    """A clip whose latent stream fits one DiT window runs the same math as
+    the legacy single-chunk staged path (same encode boundaries, same DiT
+    input, same decode) — only the program partitioning differs."""
+    frames = np.random.default_rng(4).random((33, 16, 16, 3)).astype(np.float32)
+    lq = frames * 2.0 - 1.0
+    # stream_decode_latents default (2) == tiny cfg latent_frames_batch_size,
+    # so the legacy and streaming decode sub-batch spans coincide here.
+    p_s = _pipe(params, vae_tiling=True, output_uint8=True, streaming=True)
+    out_s = p_s._sr_clip_streamed(lq, jax.random.PRNGKey(0))
+    p_l = _pipe(params, vae_tiling=True, output_uint8=True)
+    out_l = p_l._sr_clip_staged(lq, jax.random.PRNGKey(0))
+    assert out_s.shape == out_l.shape
+    # identical math, different jit partitioning: allow 1 quantization step
+    diff = np.abs(out_s.astype(np.int32) - out_l.astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+
+
+def test_streaming_i420_geometry(params):
+    frames = np.random.default_rng(5).random((41, 16, 16, 3)).astype(np.float32)
+    p = _pipe(
+        params, vae_tiling=True, output_uint8=True, output_i420=True,
+        streaming=True,
+    )
+    out = p.process_frames(frames)
+    assert out.shape == (41, 96, 64) and out.dtype == np.uint8
+
+
+def test_streaming_float_path_for_metrics(params):
+    """output_uint8=False (inline metrics) returns float RGB in [0, 1]."""
+    frames = np.random.default_rng(6).random((37, 16, 16, 3)).astype(np.float32)
+    p = _pipe(params, vae_tiling=True, streaming=True)
+    out = p.process_frames(frames)
+    assert out.shape == (37, 64, 64, 3) and out.dtype == np.float32
+    assert 0.0 <= out.min() and out.max() <= 1.0
+
+
+def test_streaming_auto_gate():
+    """streaming='auto' engages only for the int8 serving mode."""
+    cfg = tiny_test()
+    p = DovePipeline(
+        config=cfg,
+        dit_params={}, vae_params={},  # gate check only — no compute
+        prompt_embedding=jnp.zeros((1, 1)),
+        vae_tiling=True, output_uint8=True, donate_weights=False,
+    )
+    assert not p._stream_enabled(None)  # bf16 default: legacy chunking
+    p.quantize = "int8"
+    assert p._stream_enabled(None)
+    import os
+
+    os.environ["DOVE_STREAMING"] = "0"
+    try:
+        assert not p._stream_enabled(None)
+    finally:
+        del os.environ["DOVE_STREAMING"]

@@ -215,3 +215,51 @@ def test_host_assembled_tilers_match_device_tilers():
         ),
     )
     np.testing.assert_allclose(host_px, dev_px, atol=1e-4)
+
+
+def test_cached_segment_encode_matches_whole():
+    """Streamed segment encode (cache crossing call boundaries) must be
+    BIT-identical to one cached call with the same sub-chunk spans:
+    segments [33,32,32,4] at chunk_frames=4 produce the same spans as a
+    whole-clip call at chunk_frames=4 (remainder rides the first chunk)."""
+    from dove_tpu.models.vae import encode_moments_cached
+
+    cfg = tiny_test().vae
+    params = init_vae_params(jax.random.PRNGKey(0), cfg)
+    video = jax.random.normal(jax.random.PRNGKey(1), (1, 101, 16, 16, 3)) * 0.2
+
+    whole, _ = encode_moments_cached(cfg, params, video, None, 4)
+    cache, outs = None, []
+    for s, e in [(0, 33), (33, 65), (65, 97), (97, 101)]:
+        m, cache = encode_moments_cached(cfg, params, video[:, s:e], cache, 4)
+        outs.append(m)
+    np.testing.assert_array_equal(
+        np.asarray(whole), np.asarray(jnp.concatenate(outs, axis=1))
+    )
+
+
+def test_cached_segment_decode_matches_whole_with_odd_tail():
+    """Streamed segment decode must be BIT-identical to a whole-clip cached
+    call with matching spans (chunk_frames=1 makes every latent its own
+    span). The 1-latent tail exercises the continuation flag: an odd
+    segment length mid-stream must NOT trigger the causal first-frame
+    upsampling rule."""
+    from dove_tpu.models.vae import decode_cached, encode_moments
+
+    cfg = tiny_test().vae
+    params = init_vae_params(jax.random.PRNGKey(0), cfg)
+    video = jax.random.normal(jax.random.PRNGKey(1), (1, 101, 16, 16, 3)) * 0.2
+    lat = sample_latent(
+        encode_moments(cfg, params, video), None, cfg.scaling_factor
+    ) / cfg.scaling_factor  # 26 latent frames
+
+    whole, _ = decode_cached(cfg, params, lat, None, 1)
+    cache, outs = None, []
+    for s, e in [(0, 9), (9, 17), (17, 25), (25, 26)]:
+        y, cache = decode_cached(cfg, params, lat[:, s:e], cache, 1)
+        outs.append(y)
+    # per-segment pixel frame counts: first 33 (causal 1+4k), then 4*lat
+    assert [o.shape[1] for o in outs] == [33, 32, 32, 4]
+    np.testing.assert_array_equal(
+        np.asarray(whole), np.asarray(jnp.concatenate(outs, axis=1))
+    )
