@@ -124,10 +124,10 @@ class DovePipeline:
     # conv caches thread ACROSS segment calls (exact continuity — zero VAE
     # overlap recompute, no decode seams), with only the DiT running on
     # overlapping latent windows trimmed at overlap midpoints. "auto"
-    # enables it for the int8 serving mode: the resident window caches
-    # (~3.7 GB encode / ~5.8 GB decode at 720p) fit next to a 5.2 GB int8
-    # DiT on a 16 GB chip but not next to the 10.4 GB bf16 DiT, so bf16
-    # keeps the legacy overlap-chunk path (which is also the
+    # enables it for the int8 serving mode: the window-group caches
+    # (~0.7 GB/window encode, ~1.1 GB/window decode at 5B/720p) fit next
+    # to a 5.2 GB int8 DiT on a 16 GB chip with room for activation
+    # temps; bf16 keeps the legacy overlap-chunk path (which is also the
     # reference-semantics path: per-chunk decode + pixel trim,
     # /root/reference/inference_script.py:690-727).
     streaming: str | bool = "auto"
@@ -138,10 +138,26 @@ class DovePipeline:
     dit_window_latents: int = 10
     dit_overlap_latents: int = 2
     # Latent-frame sub-batch for streaming decode segments (diffusers'
-    # num_latent_frames_batch_size character). Small values bound decoder
-    # activation temps (~1 GB per latent frame at 46x42 windows) next to
-    # the resident cross-segment conv caches.
-    stream_decode_latents: int = 2
+    # num_latent_frames_batch_size character). Bounds decoder activation
+    # temps (~1 GB per latent frame at 46x42 windows) next to the resident
+    # cross-segment conv caches; 4 is the measured sweet spot (2 loses
+    # ~30% per-latent batching efficiency, 8 does not leave temp headroom
+    # next to a 2-window cache group on a 16 GB chip).
+    stream_decode_latents: int = 4
+    # Streaming is WINDOW-MAJOR: spatial windows process in groups, each
+    # group's conv caches living across ALL temporal segments before the
+    # next group starts — so cache residency is group_size x one-window
+    # caches (5B @ 720p: ~0.7 GB/window encode, ~1.1 GB/window decode; the
+    # full 8-window stacks would be 5.5 / 8.5 GB and cannot sit next to
+    # the weights). Window outputs stay on device; per-segment assembly
+    # programs feather in float (exactness preserved) and emit the final
+    # latent / uint8 segment.
+    stream_enc_group: int = 4
+    stream_dec_group: int = 2
+    # Device-resident window outputs scale with clip length (~8 MB per
+    # 720p output frame in bf16); longer clips fall back to the legacy
+    # overlap-chunk path.
+    stream_max_frames: int = 320
 
     def __post_init__(self):
         self.schedule = Schedule.create(self.config.scheduler)
@@ -282,10 +298,14 @@ class DovePipeline:
         import os
 
         nbytes = x.size * x.dtype.itemsize
-        if nbytes < (8 << 20):
+        if nbytes < (2 << 20):
             return np.asarray(jax.device_get(x))
         if parts is None:
             parts = int(os.environ.get("DOVE_PULL_PARTS", "64"))
+            # mid-size arrays (streaming latent/x0 segments, a few MB):
+            # full 64-way splitting makes sub-128KB parts whose per-stream
+            # setup dominates — scale parts to ~512 KB each
+            parts = max(1, min(parts, nbytes // (512 << 10)))
         if workers is None:
             workers = int(os.environ.get("DOVE_PULL_THREADS", "32"))
         if cls._fast_link is None and "DOVE_PULL_PARTS" not in os.environ:
@@ -601,15 +621,14 @@ class DovePipeline:
             self._window_budget()
         )
 
-        def enc_seg(params, lq, rng, cache):
-            """
+        def enc_grp(params, lq, coords, cache):
+            """Encode a GROUP of spatial windows for one temporal segment.
 
-            x4-upscale + window + cache-threaded encode + feathered
-            assembly + posterior sample, ONE program per segment.
-            lq: [1, f, H, W, 3] in [-1, 1] at LQ resolution; cache is None
-            for the clip's first segment, else the previous segment's
-            per-window cache stack. Returns (scaled latent segment, cache).
-            """
+            lq: [1, f, H, W, 3] in [-1, 1] at LQ resolution (the x4 upscale
+            runs on device); coords: [g, 2] PIXEL offsets of the group's
+            windows in the padded upscaled frame; cache: None for the
+            clip's first segment, else the group's per-window cache stack.
+            Returns (moment windows [g, B, f', tl_h, tl_w, 2C], cache)."""
             B, F, H, W, _ = lq.shape
             u = cfg.upscale
             Hu, Wu = H * u, W * u
@@ -619,42 +638,44 @@ class DovePipeline:
             lat_h, lat_w = Hu // s, Wu // s
             tile_h, stride_h, n_rows = self._plan_axis(lat_h, BLEND_LAT, enc_max_h)
             tile_w, stride_w, n_cols = self._plan_axis(lat_w, BLEND_LAT, enc_max_w)
-            if n_rows == 1 and n_cols == 1:
-                m, nc = vae_mod.encode_moments_cached(cfg.vae, params, up, cache)
-            else:
-                th, tw = tile_h * s, tile_w * s
-                cover_h = ((n_rows - 1) * stride_h + tile_h) * s
-                cover_w = ((n_cols - 1) * stride_w + tile_w) * s
+            th, tw = tile_h * s, tile_w * s
+            cover_h = ((n_rows - 1) * stride_h + tile_h) * s
+            cover_w = ((n_cols - 1) * stride_w + tile_w) * s
+            if cover_h > Hu or cover_w > Wu:
                 up = jnp.pad(
                     up,
                     ((0, 0), (0, 0), (0, cover_h - Hu), (0, cover_w - Wu), (0, 0)),
                     mode="edge",
                 )
-                coords = jnp.asarray(
-                    [(r * stride_h * s, c * stride_w * s)
-                     for r in range(n_rows) for c in range(n_cols)], jnp.int32
-                )
 
-                def one(args):
-                    ij, c = args if cache is not None else (args, None)
-                    tile = jax.lax.dynamic_slice(
-                        up, (0, 0, ij[0], ij[1], 0), (B, F, th, tw, 3)
-                    )
-                    return vae_mod.encode_moments_cached(cfg.vae, params, tile, c)
+            def one(args):
+                ij, c = args if cache is not None else (args, None)
+                tile = jax.lax.dynamic_slice(
+                    up, (0, 0, ij[0], ij[1], 0), (B, F, th, tw, 3)
+                )
+                return vae_mod.encode_moments_cached(cfg.vae, params, tile, c)
 
-                tiles, nc = jax.lax.map(
-                    one, (coords, cache) if cache is not None else coords
-                )
-                m = self._feather_assemble(
-                    tiles, n_rows, n_cols,
-                    BLEND_LAT if n_rows > 1 else 0,
-                    BLEND_LAT if n_cols > 1 else 0,
-                    lat_h, lat_w,
-                )
-            lat = vae_mod.sample_latent(
-                m, rng if self.sample_posterior else None, cfg.vae.scaling_factor
+            return jax.lax.map(
+                one, (coords, cache) if cache is not None else coords
             )
-            return lat, nc
+
+        def asm_enc(tiles_groups, rng, n_rows, n_cols, lat_h, lat_w, n_w):
+            """Feather a segment's moment windows + posterior-sample.
+
+            tiles_groups: tuple of [g, B, f', tl_h, tl_w, 2C] stacks in
+            row-major window order (padded group tails dropped via n_w).
+            Returns the segment's SCALED latent [B, f', lat_h, lat_w, C]."""
+            tiles = jnp.concatenate(tiles_groups, axis=0)[:n_w]
+            m = self._feather_assemble(
+                tiles, n_rows, n_cols,
+                BLEND_LAT if n_rows > 1 else 0,
+                BLEND_LAT if n_cols > 1 else 0,
+                lat_h, lat_w,
+            )
+            return vae_mod.sample_latent(
+                m, rng if self.sample_posterior else None,
+                cfg.vae.scaling_factor,
+            )
 
         def dit_win(dit_params, prompt, lat_win, rng):
             """One-step denoise of a latent window [1, w, h, w, C] (scaled);
@@ -670,76 +691,115 @@ class DovePipeline:
             )
             return x0 / jnp.asarray(cfg.vae.scaling_factor, x0.dtype)
 
-        def dec_seg(params, z, cache):
-            """Window + cache-threaded decode + feathered assembly + uint8
-            quantize, ONE program per segment. z: [1, f', h, w, C] unscaled
-            latent segment. Returns (uint8/I420 pixels, cache)."""
+        def dec_grp(params, z, coords, cache):
+            """Decode a GROUP of spatial windows for one latent segment.
+
+            z: [1, f', zh, zw, C] unscaled latent segment; coords: [g, 2]
+            LATENT offsets. Returns (pixel windows [g, B, f_px, th*s, tw*s,
+            3] in model dtype, cache)."""
             B, Fl, zh, zw, C = z.shape
             fb = self.stream_decode_latents
             tile_h, stride_h, n_rows = self._plan_axis(zh, BLEND_LAT, dec_max_h)
             tile_w, stride_w, n_cols = self._plan_axis(zw, BLEND_LAT, dec_max_w)
-            if n_rows == 1 and n_cols == 1:
-                pixels, nc = vae_mod.decode_cached(cfg.vae, params, z, cache, fb)
-            else:
-                cover_h = (n_rows - 1) * stride_h + tile_h
-                cover_w = (n_cols - 1) * stride_w + tile_w
-                zp = jnp.pad(
-                    z,
-                    ((0, 0), (0, 0), (0, cover_h - zh), (0, cover_w - zw), (0, 0)),
-                    mode="edge",
-                ) if cover_h > zh or cover_w > zw else z
-                coords = jnp.asarray(
-                    [(r * stride_h, c * stride_w)
-                     for r in range(n_rows) for c in range(n_cols)], jnp.int32
-                )
+            cover_h = (n_rows - 1) * stride_h + tile_h
+            cover_w = (n_cols - 1) * stride_w + tile_w
+            zp = jnp.pad(
+                z,
+                ((0, 0), (0, 0), (0, cover_h - zh), (0, cover_w - zw), (0, 0)),
+                mode="edge",
+            ) if cover_h > zh or cover_w > zw else z
 
-                def one(args):
-                    ij, c = args if cache is not None else (args, None)
-                    tile = jax.lax.dynamic_slice(
-                        zp, (0, 0, ij[0], ij[1], 0), (B, Fl, tile_h, tile_w, C)
-                    )
-                    return vae_mod.decode_cached(cfg.vae, params, tile, c, fb)
+            def one(args):
+                ij, c = args if cache is not None else (args, None)
+                tile = jax.lax.dynamic_slice(
+                    zp, (0, 0, ij[0], ij[1], 0), (B, Fl, tile_h, tile_w, C)
+                )
+                return vae_mod.decode_cached(cfg.vae, params, tile, c, fb)
 
-                tiles, nc = jax.lax.map(
-                    one, (coords, cache) if cache is not None else coords
-                )
-                pixels = self._feather_assemble(
-                    tiles, n_rows, n_cols,
-                    (BLEND_LAT if n_rows > 1 else 0) * s,
-                    (BLEND_LAT if n_cols > 1 else 0) * s,
-                    zh * s, zw * s,
-                )
+            return jax.lax.map(
+                one, (coords, cache) if cache is not None else coords
+            )
+
+        def asm_dec(tiles_groups, n_rows, n_cols, out_h, out_w, n_w):
+            """Feather a segment's pixel windows (FLOAT — exactness kept)
+            and quantize to uint8 RGB / packed I420."""
+            tiles = jnp.concatenate(tiles_groups, axis=0)[:n_w]
+            pixels = self._feather_assemble(
+                tiles, n_rows, n_cols,
+                (BLEND_LAT if n_rows > 1 else 0) * s,
+                (BLEND_LAT if n_cols > 1 else 0) * s,
+                out_h, out_w,
+            )
             out01 = jnp.clip(pixels.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
-            return self._quantize_frames(out01), nc
+            return self._quantize_frames(out01)
 
         self._stream = {
             # first-segment variants trace with cache=None (fresh caches
-            # out); steady variants DONATE the incoming cache so the
-            # multi-GB cache stacks never exist twice in HBM.
-            "enc0": jax.jit(lambda p, lq, rng: enc_seg(p, lq, rng, None)),
-            "enc": jax.jit(enc_seg, donate_argnums=(3,)),
+            # out); steady variants DONATE the incoming cache so a group's
+            # cache stack never exists twice in HBM.
+            "enc0": jax.jit(lambda p, lq, ij: enc_grp(p, lq, ij, None)),
+            "enc": jax.jit(enc_grp, donate_argnums=(3,)),
+            "asm_enc": jax.jit(asm_enc, static_argnums=(2, 3, 4, 5, 6)),
             "dit": jax.jit(dit_win),
-            "dec0": jax.jit(lambda p, z: dec_seg(p, z, None)),
-            "dec": jax.jit(dec_seg, donate_argnums=(2,)),
+            "dec0": jax.jit(lambda p, z, ij: dec_grp(p, z, ij, None)),
+            "dec": jax.jit(dec_grp, donate_argnums=(3,)),
+            "asm_dec": jax.jit(asm_dec, static_argnums=(1, 2, 3, 4, 5)),
         }
         return self._stream
+
+    @staticmethod
+    def _window_groups(
+        coords: list[tuple[int, int]], group: int
+    ) -> list[np.ndarray]:
+        """Row-major window coords -> fixed-shape [g, 2] groups (the tail
+        group pads by repeating its last window; padded outputs are dropped
+        at assembly via the n_w static)."""
+        g = max(1, min(group, len(coords)))
+        out = []
+        for i in range(0, len(coords), g):
+            chunk = list(coords[i : i + g])
+            while len(chunk) < g:
+                chunk.append(chunk[-1])
+            out.append(np.asarray(chunk, np.int32))
+        return out
 
     def _sr_clip_streamed(self, clip: np.ndarray, rng: jax.Array) -> np.ndarray:
         """Streaming SR of a whole clip. clip: [F, H, W, 3] np float32 in
         [-1, 1] at LQ resolution with (F-1) % 4 == 0. Returns the full
-        uint8 RGB [F, H*u, W*u, 3] (or packed I420) clip."""
+        uint8 RGB [F, H*u, W*u, 3] (or packed I420) clip.
+
+        Three phases, all window-major over spatial windows with causal
+        conv caches threaded across temporal segments (group residency
+        only), then per-segment device assembly:
+          encode  -> moment windows (device) -> feather+sample -> latents
+          DiT     -> overlapping latent windows, midpoint trim (host stream)
+          decode  -> pixel windows (device)  -> feather+quantize -> pull
+        """
         import os
 
         timing = bool(os.environ.get("DOVE_STAGE_TIMING"))
         fns = self._stream_fns()
         cfg = self.config
+        sscale = cfg.vae.spatial_scale
         F, Hl, Wl, _ = clip.shape
         u = cfg.upscale
-        sscale = cfg.vae.spatial_scale
+        Hp, Wp = Hl * u, Wl * u
+        lat_h, lat_w = Hp // sscale, Wp // sscale
         n_lat = cfg.vae.latent_frames(F)
-        lat_h, lat_w = Hl * u // sscale, Wl * u // sscale
+        BLEND_LAT, (emh, emw), (dmh, dmw) = self._window_budget()
+        _, esh, enr = self._plan_axis(lat_h, BLEND_LAT, emh)
+        _, esw, enc_ = self._plan_axis(lat_w, BLEND_LAT, emw)
+        enc_coords = [
+            (r * esh * sscale, c * esw * sscale)
+            for r in range(enr) for c in range(enc_)
+        ]
+        _, dsh, dnr = self._plan_axis(lat_h, BLEND_LAT, dmh)
+        _, dsw, dnc = self._plan_axis(lat_w, BLEND_LAT, dmw)
+        dec_coords = [
+            (r * dsh, c * dsw) for r in range(dnr) for c in range(dnc)
+        ]
         segs = plan_stream_segments(F)
-        lat0 = cfg.vae.latent_frames(segs[0][1])  # latents in segment 0
+        lat0 = cfg.vae.latent_frames(segs[0][1])
 
         def lat_span(i: int) -> tuple[int, int]:
             s0, e0 = segs[i]
@@ -751,64 +811,110 @@ class DovePipeline:
         rng_enc, rng_dit = jax.random.split(rng)
         np_bf16 = np.asarray(jnp.zeros((), self.dtype)).dtype
 
-        # ---- encode: exact cache handoff, zero overlap ----
+        # ---- encode: window-major groups, exact cache handoff ----
         t0 = time.time()
+        mom: list[list] = [[] for _ in segs]
+        lq_segs: dict[int, jnp.ndarray] = {}  # uploaded once, reused per group
+        for grp in self._window_groups(enc_coords, self.stream_enc_group):
+            coords = jnp.asarray(grp)
+            cache = None
+            for si, (s0, e0) in enumerate(segs):
+                if si not in lq_segs:
+                    lq_segs[si] = jnp.asarray(clip[None, s0:e0], self.dtype)
+                if cache is None:
+                    tiles, cache = fns["enc0"](self.vae_params, lq_segs[si], coords)
+                else:
+                    tiles, cache = fns["enc"](
+                        self.vae_params, lq_segs[si], coords, cache
+                    )
+                # REQUIRED serialization, not just timing: queued programs
+                # allocate temps at enqueue on relay-backed runtimes, so an
+                # unfenced loop stacks every call's temps in HBM at once.
+                self._barrier(tiles)
+                mom[si].append(tiles)
+            self._free(cache)
+        lq_segs.clear()
+
         lat_stream = np.empty(
             (1, n_lat, lat_h, lat_w, cfg.vae.latent_channels), np_bf16
         )
-        cache = None
-        for i, (s0, e0) in enumerate(segs):
-            seg = jnp.asarray(clip[None, s0:e0], self.dtype)
-            step_rng = jax.random.fold_in(rng_enc, i)
-            if cache is None:
-                lat, cache = fns["enc0"](self.vae_params, seg, step_rng)
-            else:
-                lat, cache = fns["enc"](self.vae_params, seg, step_rng, cache)
-            ls, le = lat_span(i)
-            lat_stream[:, ls:le] = np.asarray(lat)
-        self._free(cache)  # ~3.7 GB of encoder window caches at 720p
+        for si in range(len(segs)):
+            lat = fns["asm_enc"](
+                tuple(mom[si]), jax.random.fold_in(rng_enc, si),
+                enr, enc_, lat_h, lat_w, len(enc_coords),
+            )
+            ls, le = lat_span(si)
+            lat_stream[:, ls:le] = self._parallel_get(lat)
+            mom[si] = None  # free the segment's moment windows
         t1 = time.time()
         self.stage_times["enc"] = self.stage_times.get("enc", 0.0) + (t1 - t0)
         if timing:
-            print(f"stream enc: {t1 - t0:.2f}s ({len(segs)} segments)", flush=True)
+            print(
+                f"stream enc: {t1 - t0:.2f}s ({len(segs)} segments x "
+                f"{len(enc_coords)} windows)", flush=True,
+            )
 
         # ---- DiT: overlapping windows, midpoint trim in latent space ----
         wplan = plan_dit_windows(
             n_lat, self.dit_window_latents, self.dit_overlap_latents
         )
         x0_stream = np.empty_like(lat_stream)
-        for j, (ws, we, klo, khi) in enumerate(wplan):
-            win = jnp.asarray(lat_stream[:, ws:we])
-            x0 = fns["dit"](
-                self.dit_params, self.prompt_embedding, win,
+        # dispatch every window before the first pull: the windows are
+        # independent, so the device chains them without host round-trips
+        # (the x0 pulls then drain a finished queue)
+        x0_wins = [
+            fns["dit"](
+                self.dit_params, self.prompt_embedding,
+                jnp.asarray(lat_stream[:, ws:we]),
                 jax.random.fold_in(rng_dit, j),
             )
-            x0_stream[:, ws + klo : ws + khi] = np.asarray(x0)[:, klo:khi]
+            for j, (ws, we, _, _) in enumerate(wplan)
+        ]
+        for (ws, we, klo, khi), x0 in zip(wplan, x0_wins):
+            x0_stream[:, ws + klo : ws + khi] = self._parallel_get(x0)[:, klo:khi]
         t2 = time.time()
         self.stage_times["dit"] = self.stage_times.get("dit", 0.0) + (t2 - t1)
         if timing:
             print(f"stream dit: {t2 - t1:.2f}s ({len(wplan)} windows)", flush=True)
 
-        # ---- decode: exact cache handoff, zero overlap, no seams ----
-        Hp, Wp = Hl * u, Wl * u
+        # ---- decode: window-major groups, exact cache handoff, no seams ----
+        px: list[list] = [[] for _ in segs]
+        z_segs: dict[int, jnp.ndarray] = {}
+        for grp in self._window_groups(dec_coords, self.stream_dec_group):
+            coords = jnp.asarray(grp)
+            cache = None
+            for si in range(len(segs)):
+                if si not in z_segs:
+                    ls, le = lat_span(si)
+                    z_segs[si] = jnp.asarray(x0_stream[:, ls:le])
+                if cache is None:
+                    tiles, cache = fns["dec0"](self.vae_params, z_segs[si], coords)
+                else:
+                    tiles, cache = fns["dec"](
+                        self.vae_params, z_segs[si], coords, cache
+                    )
+                self._barrier(tiles)  # see encode loop: fence queued temps
+                px[si].append(tiles)
+            self._free(cache)
+
         i420 = self.output_i420
         out = np.empty(
             (F, Hp * 3 // 2, Wp) if i420 else (F, Hp, Wp, 3), np.uint8
         )
-        cache = None
-        for i, (s0, e0) in enumerate(segs):
-            ls, le = lat_span(i)
-            z = jnp.asarray(x0_stream[:, ls:le])
-            if cache is None:
-                px, cache = fns["dec0"](self.vae_params, z)
-            else:
-                px, cache = fns["dec"](self.vae_params, z, cache)
-            out[s0:e0] = self._parallel_get(px)[0]
-        self._free(cache)  # ~5.8 GB of decoder window caches at 720p
+        for si, (s0, e0) in enumerate(segs):
+            u8 = fns["asm_dec"](
+                tuple(px[si]), dnr, dnc, lat_h * sscale, lat_w * sscale,
+                len(dec_coords),
+            )
+            out[s0:e0] = self._parallel_get(u8)[0]
+            px[si] = None  # free the segment's pixel windows
         t3 = time.time()
         self.stage_times["dec"] = self.stage_times.get("dec", 0.0) + (t3 - t2)
         if timing:
-            print(f"stream dec: {t3 - t2:.2f}s", flush=True)
+            print(
+                f"stream dec: {t3 - t2:.2f}s ({len(segs)} segments x "
+                f"{len(dec_coords)} windows)", flush=True,
+            )
         return out
 
     def _sr_clip_staged(self, clip: np.ndarray, rng: jax.Array) -> np.ndarray:
@@ -993,7 +1099,8 @@ class DovePipeline:
             MAX_FRAMES_PER_PASS = 33
             if (
                 chunk_len == 0
-                and F > MAX_FRAMES_PER_PASS
+                and MAX_FRAMES_PER_PASS < F
+                and F <= self.stream_max_frames
                 and self._stream_enabled(mesh)
             ):
                 # Streaming segmented path: exact causal-cache handoff
@@ -1095,12 +1202,6 @@ class DovePipeline:
                 return self._sr_clip_staged(data, rng_key)[:nf]
 
             n_par = mesh.shape.get("data", 1) if mesh is not None else 1
-            if n_par > 1 and len(chunks) > 1 and not self.output_uint8:
-                logger.warning(
-                    "staged chunk-parallel mesh serving requires "
-                    "output_uint8 (the metrics/float path stitches "
-                    "sequentially); running chunks on one chip"
-                )
 
             def assemble_uint8(produced):
                 """(ts, te) -> uint8 chunk pairs -> final trimmed clip.
@@ -1140,11 +1241,15 @@ class DovePipeline:
                             out_arr = out_arr[:, :, : -pad_w * upscale]
                 return out_arr
 
-            if self.output_uint8 and n_par > 1 and len(chunks) > 1:
+            if n_par > 1 and len(chunks) > 1:
                 # Multi-chip serving of the production path: temporal chunks
                 # shard over the mesh's "data" axis (uniform chunk plan ->
                 # one geometry -> one compile). An N-chip mesh cuts a long
-                # clip's wall time ~N-fold.
+                # clip's wall time ~N-fold. The float/metrics path rides the
+                # same uint8 trim-assembly (the decode stage quantizes to
+                # uint8 regardless) and converts host-side at the end —
+                # identical numerics to the sequential float path, which
+                # also round-trips through uint8.
                 def mesh_chunks():
                     nonlocal rng
                     for g0 in range(0, len(chunks), n_par):
@@ -1159,7 +1264,10 @@ class DovePipeline:
                         )
                         yield from zip(group, outs[:real])
 
-                return assemble_uint8(mesh_chunks())
+                assembled = assemble_uint8(mesh_chunks())
+                if not self.output_uint8:
+                    return assembled.astype(np.float32) / 255.0
+                return assembled
 
             if self.output_uint8:
                 def seq_chunks():

@@ -376,7 +376,9 @@ def main():
     ap.add_argument("--d", type=int, default=64)
     ap.add_argument("--block_q", type=int, default=1024)
     ap.add_argument("--block_k", type=int, default=1024)
-    ap.add_argument("--which", default="base,vones,ksplit,both")
+    ap.add_argument("--which", default="base,vones,ksplit,both",
+                    help="comma set from: base vones ksplit both qk8 full8 "
+                         "headpack mxu_probe")
     args = ap.parse_args()
     print(f"device: {jax.devices()[0]}")
 
@@ -428,6 +430,12 @@ def main():
         report("full8", jax.jit(functools.partial(
             qk8_fwd, scale=scale, block_q=args.block_q,
             block_k=args.block_k, pv8=True)))
+    if "headpack" in which:
+        report("headpack", jax.jit(functools.partial(
+            headpack_fwd, scale=scale, block_q=args.block_q,
+            block_k=args.block_k)))
+    if "mxu_probe" in which:
+        mxu_probe()
 
     # diagnostic ablations: cost of each non-MXU stage
     for name, kw in (
@@ -445,6 +453,157 @@ def main():
         report(name, jax.jit(functools.partial(
             diag_fwd, scale=scale, block_q=args.block_q,
             block_k=args.block_k, **kw)))
+
+
+
+
+# ---------------------------------------------------------------------------
+# Head packing (VERDICT r2 item 2): two D=64 heads per 128-lane contraction.
+#
+# Layout: packed q rows [bq, 2d] = [q_h0 | q_h1]; K and V become
+# block-diagonal [2bk, 2d] (built in-kernel from the two heads' blocks), so
+#   s = q2 @ kdiag^T    -> [bq, 2bk]   (cols 0..bk head0, bk.. head1, exact)
+#   o = p  @ vdiag      -> [bq, 2d]    ([o_h0 | o_h1], full 128 output lanes)
+# Both matmuls contract over 128 lanes (half zeros). This wins ONLY if the
+# MXU charges a D=64 contraction the same as D=128 (i.e. short-K rounds up);
+# `mxu_probe` measures that directly.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_headpack(
+    q_ref, k_ref, v_ref, o_ref, l_scr, acc_scr,
+    *, scale: float, kv_len: int, block_k: int,
+):
+    kj = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    bq, d = q_ref.shape[1], q_ref.shape[2]
+    bk = k_ref.shape[1]
+    eff = scale * 1.4426950408889634  # bounded-logits exp2 path
+
+    q2 = jnp.concatenate([q_ref[0], q_ref[1]], axis=1)  # [bq, 2d]
+    z = jnp.zeros((bk, d), k_ref.dtype)
+    kd = jnp.concatenate([
+        jnp.concatenate([k_ref[0], z], axis=1),
+        jnp.concatenate([z, k_ref[1]], axis=1),
+    ], axis=0)  # [2bk, 2d] block-diagonal
+    s = jax.lax.dot_general(
+        q2, kd, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * eff  # [bq, 2bk]
+
+    if kv_len % block_k:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        col = jnp.where(col >= bk, col - bk, col) + kj * block_k
+        s = jnp.where(col < kv_len, s, -jnp.inf)
+    p = jnp.exp2(s)
+
+    l0 = jnp.sum(p[:, :bk], axis=-1, keepdims=True)  # [bq, 1]
+    l1 = jnp.sum(p[:, bk:], axis=-1, keepdims=True)
+    l_scr[:] += jnp.concatenate([
+        jnp.broadcast_to(l0, (bq, d)), jnp.broadcast_to(l1, (bq, d))
+    ], axis=1)  # lanes 0..d-1 hold l0, d.. hold l1 -> lane-aligned divide
+
+    vd = jnp.concatenate([
+        jnp.concatenate([v_ref[0], z], axis=1),
+        jnp.concatenate([z, v_ref[1]], axis=1),
+    ], axis=0)  # [2bk, 2d]
+    acc_scr[:] += jax.lax.dot(
+        p.astype(v_ref.dtype), vd, preferred_element_type=jnp.float32
+    )  # [bq, 2d]
+
+    @pl.when(kj == nk - 1)
+    def _finish():
+        o = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+        o_ref[0] = o[:, :d]
+        o_ref[1] = o[:, d:]
+
+
+def headpack_fwd(q, k, v, scale, block_q, block_k):
+    bh, sq, d = q.shape
+    assert bh % 2 == 0
+    kv_len = k.shape[1]
+    qp = _pad_to(q, 1, block_q)
+    kp = _pad_to(k, 1, block_k)
+    vp = _pad_to(v, 1, block_k)
+    nq = qp.shape[1] // block_q
+    nk = kp.shape[1] // block_k
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_headpack, scale=scale, kv_len=kv_len, block_k=block_k
+        ),
+        grid=(bh // 2, nq, nk),
+        in_specs=[
+            pl.BlockSpec((2, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((2, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((2, block_k, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((2, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, qp.shape[1], d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 2 * d), jnp.float32),
+            pltpu.VMEM((block_q, 2 * d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(qp, kp, vp)
+    return out[:, :sq]
+
+
+# ---------------------------------------------------------------------------
+# MXU depth probe: is a K=64 contraction charged like K=128?
+# Chains `steps` accumulating matmuls over VMEM-resident blocks (no HBM
+# traffic inside the loop), M=N=1024.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_mm(a_ref, b_ref, o_ref, acc, *, last: int):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    acc[:] += jax.lax.dot_general(
+        a_ref[...], b_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == last)
+    def _fin():
+        o_ref[...] = acc[:].astype(o_ref.dtype)
+
+
+def mxu_probe(m=1024, n=1024, steps=4096):
+    print(f"mxu_probe: {steps} chained [{m},K]x[K,{n}] matmuls, bf16")
+    for kdim in (64, 128, 256):
+        a = jax.random.normal(jax.random.PRNGKey(0), (m, kdim), jnp.bfloat16)
+        b = jax.random.normal(jax.random.PRNGKey(1), (kdim, n), jnp.bfloat16)
+        f = jax.jit(lambda a, b, kd=kdim: pl.pallas_call(
+            functools.partial(_kernel_mm, last=steps - 1),
+            grid=(steps,),
+            in_specs=[
+                pl.BlockSpec((m, kd), lambda i: (0, 0)),
+                pl.BlockSpec((kd, n), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((m, n), lambda i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+            scratch_shapes=[pltpu.VMEM((m, n), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=jax.default_backend() != "tpu",
+        )(a, b))
+        t = timed(f, a, b)
+        fl = 2.0 * m * n * kdim * steps
+        print(f"  K={kdim:4d}: {t*1e3:7.2f} ms  {fl/t/1e12:6.1f} TF/s "
+              f"({t/steps*1e6:.2f} us/matmul)")
 
 
 if __name__ == "__main__":

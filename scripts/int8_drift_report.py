@@ -1,0 +1,207 @@
+#!/usr/bin/env python
+"""int8-vs-bf16 serving drift at full model scale (VERDICT r2 item 3).
+
+The headline bench runs the int8 W8A8 serving mode; its quality cost had
+only been measured on tiny configs and the isolated QK^T kernel. This tool
+quantifies the drift END TO END at the flagship scale:
+
+  1. generates REALISTIC-MAGNITUDE synthetic weights deterministically,
+     leaf by leaf on device (fan-in-scaled normals for kernels/embeddings,
+     ones for norm scales, zeros for biases — the same statistics as the
+     model's init; generating via init_* directly would need fp32 RNG temp
+     buffers beyond chip HBM at 5B);
+  2. runs the staged pipeline's three stages (enc_all / dit / dec_all) on a
+     fixed fixture clip and dumps the stage outputs (moments, x0 latent,
+     uint8 pixels) to an .npz;
+  3. in a second run with --quantize int8 --compare <bf16.npz>, reports
+     per-stage relative error and end-to-end PSNR(int8, bf16) over the
+     uint8 outputs, as JSON.
+
+Caveat (documented, not hidden): synthetic weights have no trained outlier
+channels. Per-CHANNEL weight quantization absorbs channel-scale outliers by
+construction, but per-tensor dynamic activation quantization could lose
+more accuracy on real checkpoints with activation outliers — the bf16 path
+remains the bit-parity reference (ops/quant.py:16-19), and this report's
+numbers are a realistic-statistics lower bound, not a released-weights
+measurement (none exist in this environment).
+
+Usage (two processes — the bf16 and int8 trees cannot co-reside in 16 GB):
+  python scripts/int8_drift_report.py --mode bf16 --out /tmp/drift_bf16.npz
+  python scripts/int8_drift_report.py --mode int8 --compare /tmp/drift_bf16.npz \
+      --report docs/INT8_DRIFT.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def realistic_params(shapes, seed: int, dtype=jnp.bfloat16):
+    """Deterministic per-leaf synthesis with init-like statistics.
+
+    kernels / embeddings: N(0, fan_in^-0.5) (fan_in = product of all dims
+    except the last); 1-D leaves: ones if a norm-scale-like name is not
+    recoverable from the flat tree, so we use value heuristics instead —
+    biases and scales are both 1-D; scales init at 1, biases at 0. We set
+    1-D leaves to zeros EXCEPT single-occurrence patterns the models read
+    as multiplicative (norm scales), which a zeros value would collapse.
+    The tree is traversed with paths so scale/bias names are used directly.
+    """
+    leaves = jax.tree_util.tree_leaves_with_path(shapes)
+    out = []
+    for i, (path, leaf) in enumerate(leaves):
+        name = jax.tree_util.keystr(path).lower()
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
+        if leaf.ndim <= 1:
+            if any(t in name for t in ("scale", "gamma", "weight_norm")) or (
+                name.endswith("['weight']") and leaf.ndim == 1
+            ):
+                arr = jnp.ones(leaf.shape, dtype)
+            else:
+                arr = jnp.zeros(leaf.shape, dtype)
+        else:
+            fan_in = int(np.prod(leaf.shape[:-1]))
+            arr = (
+                jax.random.normal(key, leaf.shape, jnp.float32)
+                * (fan_in ** -0.5)
+            ).astype(dtype)
+        out.append(arr)
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(shapes), out
+    )
+
+
+def build_pipe(preset: str, quantize: str | None):
+    from dove_tpu.config import cogvideox1_5_5b, cogvideox_2b, tiny_test
+    from dove_tpu.models.dit import init_dit_params
+    from dove_tpu.models.vae import init_vae_params
+    from dove_tpu.pipeline import DovePipeline
+
+    cfg = {"tiny": tiny_test, "cogvideox1.5-5b": cogvideox1_5_5b,
+           "cogvideox-2b": cogvideox_2b}[preset]()
+    dtype = jnp.float32 if preset == "tiny" else jnp.bfloat16
+    key = jax.random.PRNGKey(0)
+    dit_shapes = jax.eval_shape(lambda k: init_dit_params(k, cfg.dit, dtype), key)
+    vae_shapes = jax.eval_shape(lambda k: init_vae_params(k, cfg.vae, dtype), key)
+    pipe = DovePipeline(
+        config=cfg,
+        dit_params=realistic_params(dit_shapes, seed=1, dtype=dtype),
+        vae_params=realistic_params(vae_shapes, seed=2, dtype=dtype),
+        prompt_embedding=jnp.zeros(
+            (cfg.dit.max_text_seq_length, cfg.dit.text_embed_dim), dtype
+        ),
+        dtype=dtype,
+        vae_tiling=True,
+        output_uint8=True,
+        quantize=quantize,
+        sample_posterior=False,  # deterministic: drift only, no sampling
+    )
+    return pipe
+
+
+def run_stages(pipe, frames: int, height: int, width: int):
+    fns = pipe._staged_fns()
+    rng = np.random.default_rng(0)
+    lq = jnp.asarray(
+        rng.random((1, frames, height, width, 3), np.float32) * 2.0 - 1.0,
+        pipe.dtype,
+    )
+    t0 = time.time()
+    moments = fns["enc_all"](pipe.vae_params, lq)
+    pipe._barrier(moments)
+    z = fns["dit"](pipe.dit_params, pipe.prompt_embedding, moments,
+                   jax.random.PRNGKey(42))
+    pipe._barrier(z)
+    out = pipe._parallel_get(fns["dec_all"](pipe.vae_params, z))
+    dt = time.time() - t0
+    return {
+        "moments": np.asarray(moments, np.float32),
+        "x0": np.asarray(z, np.float32),
+        "out_u8": out,
+        "seconds": np.float64(dt),
+    }
+
+
+def rel_err(a: np.ndarray, b: np.ndarray) -> float:
+    num = np.linalg.norm((a - b).ravel().astype(np.float64))
+    den = max(np.linalg.norm(b.ravel().astype(np.float64)), 1e-12)
+    return float(num / den)
+
+
+def psnr_u8(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float(100.0 if mse == 0 else 10.0 * np.log10(255.0**2 / mse))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the site plugin ignores "
+                         "JAX_PLATFORMS env; tiny-preset tests use this)")
+    ap.add_argument("--mode", choices=["bf16", "int8"], required=True)
+    ap.add_argument("--preset", default="cogvideox1.5-5b")
+    ap.add_argument("--frames", type=int, default=33)
+    ap.add_argument("--height", type=int, default=180)
+    ap.add_argument("--width", type=int, default=320)
+    ap.add_argument("--out", type=str, default=None,
+                    help="npz dump of stage outputs (bf16 reference run)")
+    ap.add_argument("--compare", type=str, default=None,
+                    help="bf16 npz to compare against (int8 run)")
+    ap.add_argument("--report", type=str, default=None)
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    pipe = build_pipe(args.preset, "int8" if args.mode == "int8" else None)
+    stages = run_stages(pipe, args.frames, args.height, args.width)
+    print(f"{args.mode} stages done in {float(stages['seconds']):.1f}s",
+          file=sys.stderr)
+
+    if args.out:
+        np.savez_compressed(args.out, **stages)
+        print(f"wrote {args.out}", file=sys.stderr)
+
+    if args.compare:
+        ref = np.load(args.compare)
+        report = {
+            "preset": args.preset,
+            "fixture": [args.frames, args.height, args.width],
+            "weights": "synthetic fan-in-scaled normals (see script header)",
+            "sample_posterior": False,
+            "rel_err": {
+                "enc_moments": rel_err(stages["moments"], ref["moments"]),
+                "dit_x0": rel_err(stages["x0"], ref["x0"]),
+            },
+            "end_to_end": {
+                "psnr_int8_vs_bf16_db": psnr_u8(stages["out_u8"], ref["out_u8"]),
+                "max_abs_u8": int(
+                    np.abs(
+                        stages["out_u8"].astype(np.int32)
+                        - ref["out_u8"].astype(np.int32)
+                    ).max()
+                ),
+                "mean_abs_u8": float(
+                    np.abs(
+                        stages["out_u8"].astype(np.float64)
+                        - ref["out_u8"].astype(np.float64)
+                    ).mean()
+                ),
+            },
+        }
+        print(json.dumps(report, indent=2))
+        if args.report:
+            Path(args.report).write_text(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

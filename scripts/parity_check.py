@@ -210,6 +210,49 @@ def jax_outputs(cfg, dit_params, vae_params, inputs) -> dict[str, np.ndarray]:
 # Comparison report
 # ---------------------------------------------------------------------------
 
+def _sha256(arr: np.ndarray) -> str:
+    import hashlib
+
+    return hashlib.sha256(np.ascontiguousarray(arr).tobytes()).hexdigest()
+
+
+def _aux_outputs(args, fx: dict) -> dict[str, np.ndarray]:
+    """Optional fixture sections beyond the VAE/DiT/scheduler core:
+    T5 goldens (t5_ids/t5_out, from parity_dump_torch.py --t5) need a
+    --model_path with a text_encoder; RAFT goldens (raft_images/raft_flow)
+    need DOVE_RAFT_WEIGHTS. Sections absent from the fixture are skipped."""
+    import os
+
+    out: dict[str, np.ndarray] = {}
+    if "t5_out" in fx and args.model_path:
+        from pathlib import Path as _P
+
+        if (_P(args.model_path) / "text_encoder").exists():
+            import jax.numpy as jnp
+
+            from dove_tpu.models.t5 import load_t5, t5_encode
+
+            params, t5_cfg = load_t5(args.model_path, dtype=jnp.float32)
+            out["t5_out"] = np.asarray(
+                t5_encode(params, t5_cfg, jnp.asarray(fx["t5_ids"], jnp.int32)),
+                np.float32,
+            )
+    if "raft_flow" in fx and os.environ.get("DOVE_RAFT_WEIGHTS"):
+        import jax.numpy as jnp
+
+        from dove_tpu.models.raft import load_raft, raft_flow
+
+        params = load_raft(os.environ["DOVE_RAFT_WEIGHTS"])
+        pair = fx["raft_images"]  # [2, 3, H, W] in [0, 255] (torch side)
+        img1 = jnp.asarray(pair[:1].transpose(0, 2, 3, 1) / 255.0)
+        img2 = jnp.asarray(pair[1:].transpose(0, 2, 3, 1) / 255.0)
+        flow = raft_flow(params, img1, img2, iters=12)  # [1, H, W, 2]
+        out["raft_flow"] = np.asarray(
+            flow.transpose(0, 3, 1, 2), np.float32
+        )
+    return out
+
+
 def compare(name: str, ours: np.ndarray, golden: np.ndarray, bar_db: float):
     ours = np.asarray(ours, np.float64)
     golden = np.asarray(golden, np.float64)
@@ -263,6 +306,9 @@ def main(argv=None):
             "preset": None if args.model_path else args.preset,
             "dtype": args.dtype,
             "timestep": int(inputs["timestep"]),
+            "sha256": {
+                k: _sha256(v) for k, v in {**inputs, **outs}.items()
+            },
         }
         np.savez(args.make_fixtures, meta=json.dumps(meta), **inputs, **outs)
         print(f"wrote fixtures to {args.make_fixtures} "
@@ -271,11 +317,22 @@ def main(argv=None):
     if args.check:
         fx = dict(np.load(args.check, allow_pickle=False))
         meta = json.loads(str(fx.pop("meta"))) if "meta" in fx else {}
+        if meta.get("versions"):
+            print(f"fixture versions: {meta['versions']}", file=sys.stderr)
+        # integrity: every stored array must match its recorded checksum
+        for name, want in (meta.get("sha256") or {}).items():
+            if name in fx and _sha256(fx[name]) != want:
+                raise SystemExit(
+                    f"fixture array '{name}' fails its sha256 checksum — "
+                    f"the file is corrupted or was regenerated with "
+                    f"different inputs; re-dump with parity_dump_torch.py"
+                )
         fixture_inputs = {k: fx[k] for k in inputs if k in fx}
         missing = [k for k in inputs if k not in fx]
         if missing:
             raise SystemExit(f"fixture missing input arrays: {missing}")
         ours = jax_outputs(cfg, dit_params, vae_params, fixture_inputs)
+        ours.update(_aux_outputs(args, fx))
         rows = []
         for name, mine in sorted(ours.items()):
             if name not in fx:

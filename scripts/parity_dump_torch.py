@@ -60,6 +60,28 @@ def make_inputs(vae_cfg, tf_cfg) -> dict[str, np.ndarray]:
     }
 
 
+def _sha256(arr: np.ndarray) -> str:
+    import hashlib
+
+    return hashlib.sha256(np.ascontiguousarray(arr).tobytes()).hexdigest()
+
+
+def _versions() -> dict:
+    """Record the dump environment so the check side can flag drift.
+
+    KNOWN-GOOD pins (the combination this harness was authored against —
+    newer diffusers occasionally changes CogVideoX internals):
+      torch>=2.4, diffusers==0.31.*, numpy>=1.26, transformers>=4.44.
+    """
+    vs = {"numpy": np.__version__, "torch": torch.__version__}
+    for mod in ("diffusers", "transformers"):
+        try:
+            vs[mod] = __import__(mod).__version__
+        except Exception:
+            vs[mod] = None
+    return vs
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model_path", required=True)
@@ -67,6 +89,15 @@ def main():
     ap.add_argument("--device", default="cpu")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--t5", action="store_true",
+                    help="also dump T5 text-encoder goldens (t5_ids/t5_out) "
+                         "from <model_path>/text_encoder + /tokenizer")
+    ap.add_argument("--raft_repo", default=None,
+                    help="path to a checkout containing the torch RAFT "
+                         "(e.g. the DOVE repo's basicsr/dove/archs dir); "
+                         "enables raft_flow goldens with --raft_weights")
+    ap.add_argument("--raft_weights", default=None,
+                    help="raft-things.pth for the RAFT golden section")
     args = ap.parse_args()
 
     from diffusers import AutoencoderKLCogVideoX, CogVideoXTransformer3DModel
@@ -159,11 +190,63 @@ def main():
         )
         out["sched_x0"] = x0.numpy().astype(np.float32)
 
+    # --- optional T5 text-encoder goldens --------------------------------
+    if args.t5:
+        from transformers import AutoTokenizer, T5EncoderModel
+
+        tok = AutoTokenizer.from_pretrained(f"{args.model_path}/tokenizer")
+        t5 = T5EncoderModel.from_pretrained(
+            f"{args.model_path}/text_encoder", torch_dtype=dtype
+        ).to(dev).eval()
+        L = int(getattr(tf_cfg, "max_text_seq_length", 226))
+        prompts = ["", "a cat playing piano on a rainy stage"]
+        ids = tok(prompts, padding="max_length", max_length=L,
+                  truncation=True, add_special_tokens=True,
+                  return_tensors="pt").input_ids
+        with torch.no_grad():
+            # reference convention: input_ids only, no attention mask
+            # (lora_one_s1_trainer.py:83, inference_script.py:440)
+            feats = t5(ids.to(dev))[0]
+        out["t5_ids"] = ids.cpu().numpy().astype(np.int32)
+        out["t5_out"] = feats.float().cpu().numpy()
+
+    # --- optional RAFT goldens -------------------------------------------
+    if args.raft_weights:
+        import sys as _sys
+
+        if args.raft_repo:
+            _sys.path.insert(0, args.raft_repo)
+        from raft import RAFT  # the torch RAFT module in --raft_repo
+
+        class _A:  # RAFT's argparse shim
+            small = False
+            mixed_precision = False
+            alternate_corr = False
+
+        raft = RAFT(_A())
+        sd = torch.load(args.raft_weights, map_location="cpu")
+        raft.load_state_dict(
+            {k.replace("module.", ""): v for k, v in sd.items()}
+        )
+        raft = raft.to(dev).eval()
+        rng = np.random.default_rng(20260816 + 1)
+        pair = rng.random((2, 3, 64, 96), np.float32) * 255.0
+        with torch.no_grad():
+            _, flow = raft(
+                torch.from_numpy(pair[:1]).to(dev),
+                torch.from_numpy(pair[1:]).to(dev),
+                iters=12, test_mode=True,
+            )
+        out["raft_images"] = pair
+        out["raft_flow"] = flow.cpu().numpy()
+
     meta = {
         "source": "torch-diffusers",
         "model_path": args.model_path,
         "dtype": args.dtype,
         "timestep": int(inputs["timestep"]),
+        "versions": _versions(),
+        "sha256": {k: _sha256(v) for k, v in {**inputs, **out}.items()},
     }
     np.savez(args.out, meta=json.dumps(meta), **inputs, **out)
     print(f"wrote golden fixtures to {args.out} ({', '.join(sorted(out))})")

@@ -8,6 +8,7 @@ from pathlib import Path
 
 import cv2
 import numpy as np
+import pytest
 
 REPO = Path(__file__).resolve().parent.parent
 # NB: the axon site plugin ignores JAX_PLATFORMS; scripts that touch jax
@@ -116,6 +117,7 @@ def test_bench_tiny_smoke(monkeypatch, capsys):
     assert rec["value"] > 0
 
 
+@pytest.mark.slow
 def test_inference_cli_data_parallel_staged(tmp_path, monkeypatch):
     """Full inference CLI with --is_vae_st --data_parallel 2 on the virtual
     CPU mesh: exercises the chunk-parallel staged serving path (and I420
@@ -170,3 +172,30 @@ def test_save_video_lossless_roundtrip(tmp_path):
     path2 = video_io.save_video_lossless(f32, tmp_path / "clip2.mkv")
     back2 = (video_io.read_video_frames(path2) * 255).round().astype(np.uint8)
     np.testing.assert_array_equal(back2, frames)
+
+
+def test_int8_drift_report_roundtrip(tmp_path):
+    """The drift tool's two-process A/B: bf16 dump then int8 compare, with
+    a well-formed JSON report (tiny preset, CPU)."""
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    base = [sys.executable, str(REPO / "scripts" / "int8_drift_report.py"),
+            "--cpu", "--preset", "tiny", "--frames", "9",
+            "--height", "32", "--width", "32"]
+    ref = tmp_path / "bf16.npz"
+    r = subprocess.run(base + ["--mode", "bf16", "--out", str(ref)],
+                       capture_output=True, text=True, cwd=REPO, env=env)
+    assert r.returncode == 0, r.stderr
+    report = tmp_path / "report.json"
+    r = subprocess.run(
+        base + ["--mode", "int8", "--compare", str(ref),
+                "--report", str(report)],
+        capture_output=True, text=True, cwd=REPO, env=env,
+    )
+    assert r.returncode == 0, r.stderr
+    rep = json.loads(report.read_text())
+    assert set(rep["rel_err"]) == {"enc_moments", "dit_x0"}
+    assert np.isfinite(rep["end_to_end"]["psnr_int8_vs_bf16_db"])
+    # tiny VAE convs are below the 64-channel quantization threshold, so
+    # encode is exact; the DiT quantizes and must drift only slightly
+    assert rep["rel_err"]["enc_moments"] == 0.0
+    assert 0 < rep["rel_err"]["dit_x0"] < 0.05

@@ -31,6 +31,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_cluster_fit(tmp_path):
     data = tmp_path / "data"
     (data / "videos").mkdir(parents=True)

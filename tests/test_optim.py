@@ -91,3 +91,63 @@ def test_factory_came_and_grad_clip():
     # update dtype follows the gradient dtype (donation-friendly)
     assert updates["w"].dtype == jnp.bfloat16
     assert np.all(np.isfinite(np.asarray(updates["w"], np.float32)))
+
+
+def test_adamw_8bit_tracks_adamw():
+    """8-bit blockwise moments must (a) carry ~2 bytes/param of resident
+    state, (b) follow fp32 AdamW closely on a quadratic, (c) jit cleanly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from dove_tpu.train.optim import adamw_8bit
+
+    def loss(p):
+        return jnp.sum((p["w"] - 3.0) ** 2) + jnp.sum((p["b"] + 1.0) ** 2)
+
+    params8 = {"w": jnp.zeros((64, 33)), "b": jnp.zeros((7,))}
+    params32 = jax.tree.map(jnp.copy, params8)
+    opt8 = adamw_8bit(1e-1, weight_decay=0.0)
+    opt32 = optax.adam(1e-1)
+    s8, s32 = opt8.init(params8), opt32.init(params32)
+
+    @jax.jit
+    def step8(p, s):
+        g = jax.grad(loss)(p)
+        u, s = opt8.update(g, s, p)
+        return optax.apply_updates(p, u), s
+
+    @jax.jit
+    def step32(p, s):
+        g = jax.grad(loss)(p)
+        u, s = opt32.update(g, s, p)
+        return optax.apply_updates(p, u), s
+
+    for _ in range(150):
+        params8, s8 = step8(params8, s8)
+        params32, s32 = step32(params32, s32)
+    # Adam oscillates near the optimum at this lr; the REAL check is that
+    # the 8-bit trajectory tracks fp32 Adam tightly the whole way
+    np.testing.assert_allclose(np.asarray(params8["w"]), 3.0, atol=0.3)
+    np.testing.assert_allclose(np.asarray(params8["b"]), -1.0, atol=0.3)
+    diff = float(jnp.abs(params8["w"] - params32["w"]).max())
+    assert diff < 0.05, diff
+
+    # resident state bytes ~ 2 B per (block-padded) param: int8 + uint8
+    # streams + one f32 scale per 2048-block per stream
+    padded = 4096 + 2048  # w pads 2112 -> 4096; b pads 7 -> 2048
+    state_bytes = sum(
+        leaf.size * leaf.dtype.itemsize
+        for leaf in jax.tree_util.tree_leaves(s8)
+    )
+    assert state_bytes < 2.1 * padded, state_bytes
+
+
+def test_make_optimizer_adamw_8bit_name():
+    from dove_tpu.train.optim import make_lr_schedule, make_optimizer
+
+    opt = make_optimizer("adamw-8bit", make_lr_schedule(1e-4))
+    assert opt is not None
+    opt = make_optimizer("adamw_8bit", make_lr_schedule(1e-4))
+    assert opt is not None

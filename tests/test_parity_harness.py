@@ -14,6 +14,7 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 REPO = Path(__file__).resolve().parent.parent
 ENV = {**os.environ, "JAX_PLATFORMS": "cpu"}  # don't init the TPU tunnel
@@ -34,6 +35,7 @@ def _run(args):
     )
 
 
+@pytest.mark.slow
 def test_parity_selftest_roundtrip(tmp_path):
     fx = tmp_path / "fx.npz"
     report = tmp_path / "report.json"
@@ -62,6 +64,7 @@ def test_parity_selftest_roundtrip(tmp_path):
         assert m["psnr_db"] > 80
 
 
+@pytest.mark.slow
 def test_parity_detects_mismatch(tmp_path):
     """A corrupted golden module must FAIL the check (nonzero exit)."""
     fx = tmp_path / "fx.npz"

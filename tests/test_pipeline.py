@@ -147,6 +147,7 @@ def test_i420_output_matches_rgb(params):
     assert np.abs(back.astype(np.int16) - rgb.astype(np.int16)).mean() < 8.0
 
 
+@pytest.mark.slow
 def test_i420_chunked_and_cropped(params):
     """I420 survives temporal chunking + stitching and un-padding crops
     (odd input sizes pad, then crop back in packed layout)."""
@@ -218,6 +219,23 @@ def test_staged_mesh_chunk_parallel_matches_sequential(params):
     np.testing.assert_array_equal(par, seq)
 
 
+def test_staged_mesh_chunk_parallel_float_metrics_path(params):
+    """--data_parallel composes with --eval_metrics: the float path rides
+    the mesh's uint8 trim-assembly and converts host-side — bit-equal to
+    the sequential float path (both round-trip the decode's uint8)."""
+    from dove_tpu.parallel.mesh import make_mesh
+
+    frames = np.random.default_rng(9).random((21, 8, 8, 3)).astype(np.float32)
+    seq = _pipe(params, vae_tiling=True).process_frames(
+        frames, chunk_len=9, overlap_t=4
+    )
+    par = _pipe(params, vae_tiling=True).process_frames(
+        frames, chunk_len=9, overlap_t=4, mesh=make_mesh(data=2, model=1)
+    )
+    assert seq.dtype == par.dtype == np.float32
+    np.testing.assert_array_equal(par, seq)
+
+
 def test_staged_mesh_chunk_parallel_i420(params):
     from dove_tpu.parallel.mesh import make_mesh
 
@@ -265,6 +283,7 @@ def test_plan_dit_windows():
         assert covered == list(range(n_lat))
 
 
+@pytest.mark.slow
 def test_streaming_long_clip(params):
     """Streaming path: correct geometry, deterministic, engages only for
     clips longer than one DiT pass."""
@@ -279,15 +298,17 @@ def test_streaming_long_clip(params):
     np.testing.assert_array_equal(out, out2)
 
 
+@pytest.mark.slow
 def test_streaming_single_window_matches_legacy_single_chunk(params):
     """A clip whose latent stream fits one DiT window runs the same math as
     the legacy single-chunk staged path (same encode boundaries, same DiT
     input, same decode) — only the program partitioning differs."""
     frames = np.random.default_rng(4).random((33, 16, 16, 3)).astype(np.float32)
     lq = frames * 2.0 - 1.0
-    # stream_decode_latents default (2) == tiny cfg latent_frames_batch_size,
-    # so the legacy and streaming decode sub-batch spans coincide here.
     p_s = _pipe(params, vae_tiling=True, output_uint8=True, streaming=True)
+    # match tiny cfg's latent_frames_batch_size so the legacy and streaming
+    # decode sub-batch spans (GroupNorm statistics windows) coincide
+    p_s.stream_decode_latents = 2
     out_s = p_s._sr_clip_streamed(lq, jax.random.PRNGKey(0))
     p_l = _pipe(params, vae_tiling=True, output_uint8=True)
     out_l = p_l._sr_clip_staged(lq, jax.random.PRNGKey(0))
