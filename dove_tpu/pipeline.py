@@ -138,12 +138,13 @@ class DovePipeline:
     dit_window_latents: int = 10
     dit_overlap_latents: int = 2
     # Latent-frame sub-batch for streaming decode segments (diffusers'
-    # num_latent_frames_batch_size character). Bounds decoder activation
-    # temps (~1 GB per latent frame at 46x42 windows) next to the resident
-    # cross-segment conv caches; 4 is the measured sweet spot (2 loses
-    # ~30% per-latent batching efficiency, 8 does not leave temp headroom
-    # next to a 2-window cache group on a 16 GB chip).
-    stream_decode_latents: int = 4
+    # num_latent_frames_batch_size character). AOT-measured decoder temps
+    # are ~1.5 GB per latent frame at 46x42-latent windows (the int8 conv
+    # path's int32 accumulators dominate), so 2 is the largest value that
+    # fits next to the weights + a window-group's caches on a 16 GB chip
+    # (fb=4 programs need 9-12 GB of temps alone — measured via
+    # memory_analysis, OOMs in practice).
+    stream_decode_latents: int = 2
     # Streaming is WINDOW-MAJOR: spatial windows process in groups, each
     # group's conv caches living across ALL temporal segments before the
     # next group starts — so cache residency is group_size x one-window
@@ -608,9 +609,28 @@ class DovePipeline:
             return False
         if self.streaming == "auto":
             # bf16 cannot hold the decode-phase conv caches next to a
-            # 10.4 GB resident DiT on a 16 GB chip; int8 can.
-            return self.quantize == "int8"
+            # 10.4 GB resident DiT on a 16 GB chip; int8 can. And on a
+            # RELAY-tunneled chip the per-call fences + round trips the
+            # window-major schedule needs (measured: +8s on a 100-frame
+            # clip, docs/DESIGN.md §10) cost more than the overlap compute
+            # they remove, so auto also requires a directly-attached host
+            # link (same probe as _parallel_get).
+            return self.quantize == "int8" and self._probe_fast_link()
         return bool(self.streaming)
+
+    @classmethod
+    def _probe_fast_link(cls) -> bool:
+        if cls._fast_link is None:
+            try:
+                probe = jnp.zeros((4 << 20,), jnp.uint8) + 1  # defeat dedupe
+                cls._barrier(probe)
+                t0 = time.time()
+                np.asarray(jax.device_get(probe))
+                bw = (4 << 20) / max(time.time() - t0, 1e-9)
+                cls._fast_link = bw > 500e6
+            except Exception:  # pragma: no cover
+                cls._fast_link = False
+        return cls._fast_link
 
     def _stream_fns(self):
         if self._stream:
