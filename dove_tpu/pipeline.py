@@ -574,17 +574,20 @@ class DovePipeline:
     # segments with causal conv caches threaded ACROSS segment calls.
     #
     # The legacy long-clip path re-runs the whole enc->DiT->dec stack on
-    # overlapping 33-frame chunks (1.32x redundant compute at overlap_t=8,
-    # reference semantics). But only the DiT actually needs temporal
-    # windowing (attention is quadratic in S); the causal VAE streams
-    # exactly. So: encode segments with cache handoff (zero overlap),
-    # run the DiT on overlapping windows over the tiny latent stream
-    # (trim at overlap midpoints, latent space), then decode the stitched
-    # latent stream with cache handoff (zero overlap, no decode seams).
-    # The latent/x0 streams live on HOST (tiny: ~0.9 MB per latent frame
-    # at 720p in bf16), which keeps every device program's shape
-    # independent of clip length — any length reuses the same compiled
-    # segment programs.
+    # overlapping 33-frame chunks (reference semantics). Only the DiT
+    # actually needs temporal windowing (attention is quadratic in S);
+    # the causal VAE streams exactly: encode/decode touch every frame
+    # ONCE and decode has no temporal seams. Spatial windows process
+    # WINDOW-MAJOR in groups (a group's caches live across all segments;
+    # all-window cache stacks would not fit next to the weights — see
+    # docs/DESIGN.md §10), window outputs stay on device, and a
+    # per-segment assembly program feathers in float and emits the final
+    # latent / uint8 segment. The latent/x0 streams live on HOST (tiny:
+    # ~0.9 MB per latent frame at 720p bf16), so every device program's
+    # shape is independent of clip length — any length reuses the same
+    # compiled segment programs. Perf vs legacy is link-dependent
+    # (DESIGN §10): the DiT windows are identical in both paths, so the
+    # savings are the encode/decode overlap minus the schedule's fences.
     # ------------------------------------------------------------------
 
     @staticmethod
