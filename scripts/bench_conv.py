@@ -128,14 +128,27 @@ def main():
             h = jnp.pad(h[None], ((0, 0), (kt - 1, 0), (0, 0), (0, 0), (0, 0)))
         return h
 
-    # im2col-equivalent matmul: [M, K] x [K, C], K = kt*kh*kw*C; choose M so
-    # FLOPs match one conv: M = Fo*H*W
-    M = Fo * H * W
+    report("direct3d-int8", direct3d_int8, x)
+    report("stacked-bf16", stacked_bf16, x)
+    report("stacked-int8", stacked_int8, x)
+    del x
+
+    # im2col-equivalent matmul: [M, K] x [K, C], K = kt*kh*kw*C. M is capped
+    # well below Fo*H*W (a full im2col buffer at 720p shapes is ~7 GB and
+    # OOMs next to the conv probes); the per-element rate is what we are
+    # measuring, and M=128k rows already saturates the MXU pipeline. FLOPs
+    # are recomputed per-probe to match the reduced M.
+    M = min(Fo * H * W, 131072)
     K = kt * kh * kw * C
+    mm_flops = 2.0 * M * K * C * N
     a_bf = jax.random.normal(rng, (M, K), jnp.bfloat16)
     b_bf = jax.random.normal(rng, (K, C), jnp.bfloat16)
     a_i8 = jnp.clip(jnp.round(a_bf.astype(jnp.float32) * 10), -127, 127).astype(jnp.int8)
     b_i8 = jnp.clip(jnp.round(b_bf.astype(jnp.float32) * 10), -127, 127).astype(jnp.int8)
+
+    def report_mm(name, fn, *a):
+        t = timed(fn, *a)
+        print(f"{name:14s}: {t*1e3:8.1f} ms  {mm_flops/t/1e12:6.1f} TOP/s", flush=True)
 
     @jax.jit
     def matmul_bf16(a, b):
@@ -154,11 +167,8 @@ def main():
             h = jnp.concatenate([y8] * (K // C), axis=1)
         return h
 
-    report("direct3d-int8", direct3d_int8, x)
-    report("stacked-bf16", stacked_bf16, x)
-    report("stacked-int8", stacked_int8, x)
-    report("matmul-bf16", matmul_bf16, a_bf, b_bf)
-    report("matmul-int8", matmul_int8, a_i8, b_i8)
+    report_mm("matmul-bf16", matmul_bf16, a_bf, b_bf)
+    report_mm("matmul-int8", matmul_int8, a_i8, b_i8)
 
 
 if __name__ == "__main__":
