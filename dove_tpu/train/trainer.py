@@ -172,6 +172,52 @@ class Trainer:
             self.lora_scale = args.lora_alpha / args.rank
 
     # ------------------------------------------------------------------
+    # Typed component/state views (reference schemas/components.py,
+    # schemas/state.py). Read-only: the live sources of truth are the
+    # functional attributes (param trees, Schedule, PRNG key), so the bags
+    # are assembled on access rather than stored and kept in sync.
+    # ------------------------------------------------------------------
+
+    @property
+    def components(self) -> "components_mod.Components":
+        from dove_tpu.pipeline import DovePipeline
+        from dove_tpu.train import components as components_mod
+
+        return components_mod.Components(
+            pipeline_cls=DovePipeline,
+            vae=getattr(self, "vae_params", None),
+            transformer=getattr(self, "dit_params", None),
+            scheduler=self.schedule,
+        )
+
+    @property
+    def state(self) -> "components_mod.State":
+        from dove_tpu.train import components as components_mod
+
+        args = self.args
+        f, h, w = args.train_resolution
+        n_trainable = 0
+        if getattr(self, "dit_params", None) is not None:
+            n_trainable = sum(
+                int(np.prod(x.shape))
+                for x in jax.tree_util.tree_leaves(self.trainable_params())
+            )
+        val_dir = Path(args.validation_dir) if args.validation_dir else None
+        videos = (
+            sorted(str(p) for p in val_dir.iterdir()) if val_dir and val_dir.is_dir()
+            else []
+        )
+        return components_mod.State(
+            train_frames=f, train_height=h, train_width=w,
+            transformer_config=dataclasses.asdict(self.config.dit),
+            weight_dtype=self.dtype,
+            num_trainable_parameters=n_trainable,
+            generator=jax.random.PRNGKey(args.seed or 0),
+            validation_videos=videos,
+            using_fsdp=args.fsdp > 1,
+        )
+
+    # ------------------------------------------------------------------
     # Dataset
     # ------------------------------------------------------------------
 

@@ -71,11 +71,17 @@ def realistic_params(shapes, seed: int, dtype=jnp.bfloat16):
                 arr = jnp.zeros(leaf.shape, dtype)
         else:
             fan_in = int(np.prod(leaf.shape[:-1]))
-            arr = (
-                jax.random.normal(key, leaf.shape, jnp.float32)
-                * (fan_in ** -0.5)
-            ).astype(dtype)
+            # generate at the target dtype (an fp32 tree would be 21 GB of
+            # temps) and fence periodically: the relay runtime allocates
+            # queued-program temps at ENQUEUE time, so hundreds of unfenced
+            # leaf dispatches stack their temps in HBM (docs/DESIGN.md §10)
+            arr = jax.jit(
+                lambda k, s=leaf.shape, c=fan_in ** -0.5, d=dtype:
+                jax.random.normal(k, s, d) * jnp.asarray(c, d)
+            )(key)
         out.append(arr)
+        if i % 16 == 15:
+            np.asarray(jax.device_get(arr.ravel()[:1]))
     return jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(shapes), out
     )

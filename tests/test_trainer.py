@@ -9,6 +9,7 @@ import json
 from pathlib import Path
 
 import cv2
+import jax
 import numpy as np
 import pytest
 
@@ -379,6 +380,32 @@ def test_args_validators():
         Args(model_path="x", do_validation=True)  # needs validation_dir
     a = Args(model_path="x", train_resolution="25x320x640")
     assert a.train_resolution == (25, 320, 640)
+
+
+def test_components_state_views(data_dir, tmp_path):
+    """Typed Components/State bags (reference schemas/{components,state}.py)
+    assemble from live trainer attributes and track the functional truth."""
+    args = _base_args(data_dir, tmp_path / "out")
+    trainer = get_model_cls("dove-s1", "lora")(args)
+    trainer.load_components()
+
+    comps = trainer.components
+    assert comps.transformer is trainer.dit_params
+    assert comps.vae is trainer.vae_params
+    assert comps.scheduler is trainer.schedule
+    assert comps.unet is None and comps.tokenizer_2 is None
+
+    st = trainer.state
+    assert (st.train_frames, st.train_height, st.train_width) == (5, 32, 32)
+    assert st.weight_dtype == trainer.dtype
+    assert st.num_trainable_parameters > 0  # LoRA leaves only
+    total = sum(
+        int(np.prod(x.shape))
+        for x in jax.tree_util.tree_leaves(trainer.dit_params)
+    )
+    assert st.num_trainable_parameters < total
+    assert st.using_fsdp is False and st.using_deepspeed is False
+    assert st.transformer_config["num_layers"] == trainer.config.dit.num_layers
 
 
 def test_validate_metrics_and_artifacts(data_dir, tmp_path):
