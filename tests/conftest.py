@@ -21,6 +21,25 @@ import pytest  # noqa: E402
 # deterministic, fast, and run fp32 matmuls (bit-exactness assertions).
 jax.config.update("jax_platforms", "cpu")
 
+# The suite is compile-dominated on this 1-core host: every DovePipeline /
+# Trainer instance re-jits the same tiny-config programs. The persistent
+# compilation cache dedupes identical programs across tests AND across
+# runs (a warm second run is several times faster). Opt out with
+# DOVE_TEST_NO_COMPILE_CACHE=1 (e.g. when debugging XLA itself).
+if not os.environ.get("DOVE_TEST_NO_COMPILE_CACHE"):
+    _cache_dir = os.environ.get(
+        "DOVE_TEST_COMPILE_CACHE_DIR", "/tmp/dove_jax_test_cache"
+    )
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    # Subprocess-driving tests (CLI tools, multihost) spawn fresh Python
+    # processes that can't see in-process config — export the same cache
+    # through the env vars jax reads at startup so they share it too.
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+
 
 @pytest.fixture(scope="session")
 def rng():
