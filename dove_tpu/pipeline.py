@@ -19,7 +19,7 @@ import dataclasses
 import logging
 import time
 from pathlib import Path
-from typing import Any, Callable
+from typing import Any, Callable, ClassVar
 
 import jax
 import jax.numpy as jnp
@@ -159,6 +159,16 @@ class DovePipeline:
     # 720p output frame in bf16); longer clips fall back to the legacy
     # overlap-chunk path.
     stream_max_frames: int = 320
+    # Optional (h, w) cap on the staged decode window, in latents. The
+    # default int8 budget (46x42) puts dec_all's temps at ~8.7 GB for a
+    # 9-latent 720p batch — 15.3/16 GB next to the 6.6 GB quantized
+    # weights. That fits from a clean-allocator start (bench.py), but a
+    # process whose HBM history is churned (e.g. hundreds of weight-
+    # synthesis programs: scripts/int8_drift_report.py) loses a few
+    # hundred MB of arena headroom to fragmentation and OOMs at the same
+    # residency. Capping the decode window trades ~linear temp size for
+    # more windows (slightly more feather-overlap compute).
+    dec_window_cap: tuple[int, int] | None = None
 
     def __post_init__(self):
         self.schedule = Schedule.create(self.config.scheduler)
@@ -279,7 +289,10 @@ class DovePipeline:
 
     # one-time host-link probe result: True => link is fast enough that
     # multi-stream pulls only add thread overhead (directly-attached TPU).
-    _fast_link: bool | None = None
+    # ClassVar: a process-wide cache, NOT a dataclass field (an annotated
+    # plain assignment here would become an __init__ parameter and a
+    # per-instance attribute shadowing the class-level cache).
+    _fast_link: ClassVar[bool | None] = None
 
     @classmethod
     def _parallel_get(
@@ -310,18 +323,12 @@ class DovePipeline:
         if workers is None:
             workers = int(os.environ.get("DOVE_PULL_THREADS", "32"))
         if cls._fast_link is None and "DOVE_PULL_PARTS" not in os.environ:
-            # Probe with the first 4 MB: >500 MB/s single-stream means the
-            # parallel-stream workaround would only add thread-hop overhead.
-            probe = x.reshape(-1)[: (4 << 20) // x.dtype.itemsize]
-            t0 = time.time()
-            np.asarray(jax.device_get(probe))
-            bw = probe.size * x.dtype.itemsize / max(time.time() - t0, 1e-9)
-            cls._fast_link = bw > 500e6
-            if cls._fast_link:
-                logger.info(
-                    "host link probe: %.0f MB/s single-stream — using "
-                    "direct pulls", bw / 1e6,
-                )
+            # One-time link probe. Must NOT time a pull of `x` itself: x's
+            # producer program may still be executing, so the measurement
+            # would include compute time and latch _fast_link=False forever
+            # on a genuinely fast link (and with it, mis-gate the streaming
+            # path). _probe_fast_link times a fenced standalone buffer.
+            cls._probe_fast_link()
         if parts <= 1 or cls._fast_link:
             return np.asarray(jax.device_get(x))
         from concurrent.futures import ThreadPoolExecutor
@@ -427,8 +434,16 @@ class DovePipeline:
         (measured-linear in tile area from the 2.6 GB @ 24x24 bf16 point).
         """
         if self.quantize:
-            return 2, (46, 42), (46, 42)
-        return 2, (32, 32), (28, 28)
+            budget = 2, (46, 42), (46, 42)
+        else:
+            budget = 2, (32, 32), (28, 28)
+        if self.dec_window_cap is not None:
+            blend, enc_max, dec_max = budget
+            budget = blend, enc_max, (
+                min(dec_max[0], self.dec_window_cap[0]),
+                min(dec_max[1], self.dec_window_cap[1]),
+            )
+        return budget
 
     def _quantize_frames(self, out01: jnp.ndarray) -> jnp.ndarray:
         """[B, F, H, W, 3] float in [0,1] -> uint8 RGB, or packed I420."""
@@ -631,6 +646,11 @@ class DovePipeline:
                 np.asarray(jax.device_get(probe))
                 bw = (4 << 20) / max(time.time() - t0, 1e-9)
                 cls._fast_link = bw > 500e6
+                if cls._fast_link:
+                    logger.info(
+                        "host link probe: %.0f MB/s single-stream — using "
+                        "direct pulls", bw / 1e6,
+                    )
             except Exception:  # pragma: no cover
                 cls._fast_link = False
         return cls._fast_link
@@ -786,7 +806,9 @@ class DovePipeline:
             out.append(np.asarray(chunk, np.int32))
         return out
 
-    def _sr_clip_streamed(self, clip: np.ndarray, rng: jax.Array) -> np.ndarray:
+    def _sr_clip_streamed(
+        self, clip: np.ndarray, rng: jax.Array, overlap_lat: int | None = None
+    ) -> np.ndarray:
         """Streaming SR of a whole clip. clip: [F, H, W, 3] np float32 in
         [-1, 1] at LQ resolution with (F-1) % 4 == 0. Returns the full
         uint8 RGB [F, H*u, W*u, 3] (or packed I420) clip.
@@ -879,22 +901,44 @@ class DovePipeline:
 
         # ---- DiT: overlapping windows, midpoint trim in latent space ----
         wplan = plan_dit_windows(
-            n_lat, self.dit_window_latents, self.dit_overlap_latents
+            n_lat, self.dit_window_latents,
+            self.dit_overlap_latents if overlap_lat is None else overlap_lat,
         )
         x0_stream = np.empty_like(lat_stream)
-        # dispatch every window before the first pull: the windows are
-        # independent, so the device chains them without host round-trips
-        # (the x0 pulls then drain a finished queue)
-        x0_wins = [
-            fns["dit"](
-                self.dit_params, self.prompt_embedding,
-                jnp.asarray(lat_stream[:, ws:we]),
-                jax.random.fold_in(rng_dit, j),
-            )
-            for j, (ws, we, _, _) in enumerate(wplan)
-        ]
-        for (ws, we, klo, khi), x0 in zip(wplan, x0_wins):
-            x0_stream[:, ws + klo : ws + khi] = self._parallel_get(x0)[:, klo:khi]
+        if self._probe_fast_link():
+            # dispatch every window before the first pull: the windows are
+            # independent, so the device chains them without host
+            # round-trips (the x0 pulls then drain a finished queue)
+            x0_wins = [
+                fns["dit"](
+                    self.dit_params, self.prompt_embedding,
+                    jnp.asarray(lat_stream[:, ws:we]),
+                    jax.random.fold_in(rng_dit, j),
+                )
+                for j, (ws, we, _, _) in enumerate(wplan)
+            ]
+            for (ws, we, klo, khi), x0 in zip(wplan, x0_wins):
+                x0_stream[:, ws + klo : ws + khi] = (
+                    self._parallel_get(x0)[:, klo:khi]
+                )
+        else:
+            # relay-backed runtime: queued programs allocate temps at
+            # ENQUEUE (docs/DESIGN.md §10) — dispatching every window ahead
+            # stacks ~2 GB of DiT activation temps per window in HBM next
+            # to the resident weights and window caches (OOM at ~10
+            # windows). Fence each window before dispatching the next; the
+            # per-dispatch round trip (~10-30 ms) is noise next to a
+            # multi-second window.
+            for j, (ws, we, klo, khi) in enumerate(wplan):
+                x0 = fns["dit"](
+                    self.dit_params, self.prompt_embedding,
+                    jnp.asarray(lat_stream[:, ws:we]),
+                    jax.random.fold_in(rng_dit, j),
+                )
+                self._barrier(x0)
+                x0_stream[:, ws + klo : ws + khi] = (
+                    self._parallel_get(x0)[:, klo:khi]
+                )
         t2 = time.time()
         self.stage_times["dit"] = self.stage_times.get("dit", 0.0) + (t2 - t1)
         if timing:
@@ -1129,17 +1173,20 @@ class DovePipeline:
                 # Streaming segmented path: exact causal-cache handoff
                 # across fixed-size segments (no VAE overlap recompute, no
                 # decode seams); only the DiT runs on overlapping latent
-                # windows. Frames pad up to the causal rule and trim after.
-                valid_nf = tiling.next_valid_frames(F)
+                # windows. pad_video already padded to (F-1)%8==0, the
+                # invariant plan_stream_segments' (F-1)%4==0 assert needs.
+                assert tiling.next_valid_frames(F) == F, F
                 data = lq
-                if valid_nf != F:
-                    data = np.concatenate(
-                        [data, np.repeat(data[-1:], valid_nf - F, axis=0)],
-                        axis=0,
-                    )
                 if _timing:
                     print(f"stage pre: {time.time() - _t_pre:.2f}s", flush=True)
-                out = self._sr_clip_streamed(data, jax.random.PRNGKey(seed))[:F]
+                out = self._sr_clip_streamed(
+                    data, jax.random.PRNGKey(seed),
+                    # honor the caller's temporal-overlap request like the
+                    # legacy auto-chunk path does: pixel overlap -> latent
+                    # frames (4x temporal ratio), window shape unchanged
+                    # (same compiled programs, different window count/trim)
+                    overlap_lat=max(1, round(overlap_t / 4)),
+                )[:F]
                 if pad_f:
                     out = out[:-pad_f]
                 if (pad_h or pad_w) and video_io.is_i420(out):

@@ -337,6 +337,68 @@ def test_streaming_float_path_for_metrics(params):
     assert 0.0 <= out.min() and out.max() <= 1.0
 
 
+def test_dec_window_cap(params):
+    """dec_window_cap shrinks the staged decode windows (HBM headroom knob);
+    output geometry is unchanged and the result stays within feathered-
+    window tolerance of the uncapped plan."""
+    frames = np.random.default_rng(9).random((9, 24, 40, 3)).astype(np.float32)
+    p = _pipe(params, vae_tiling=True)
+    p_cap = _pipe(params, vae_tiling=True, dec_window_cap=(4, 4))
+    assert p_cap._window_budget()[2] == (4, 4)
+    assert p_cap._window_budget()[:2] == p._window_budget()[:2]
+    out = p.process_frames(frames)
+    # a cap at/above the default budget changes nothing -> bit-identical
+    out_loose = _pipe(
+        params, vae_tiling=True, dec_window_cap=(1000, 1000)
+    ).process_frames(frames)
+    np.testing.assert_array_equal(out_loose, out)
+    # a binding cap changes the window partition (per-window GroupNorm
+    # statistics and feather seams shift — the same way the int8 serving
+    # budget differs from the bf16 one); geometry and determinism hold
+    out_cap = p_cap.process_frames(frames)
+    assert out_cap.shape == out.shape and out_cap.dtype == out.dtype
+    out_cap2 = _pipe(
+        params, vae_tiling=True, dec_window_cap=(4, 4)
+    ).process_frames(frames)
+    np.testing.assert_array_equal(out_cap, out_cap2)
+
+
+def test_streaming_slow_link_fenced_dispatch(params, monkeypatch):
+    """The relay-link branch (per-window fenced DiT dispatch) is bit-identical
+    to the fast-link branch (dispatch-ahead): same compiled programs, same
+    inputs — only the host-side scheduling differs (pipeline.py
+    _sr_clip_streamed's two DiT loops)."""
+    frames = np.random.default_rng(7).random((45, 16, 16, 3)).astype(np.float32)
+    monkeypatch.setattr(DovePipeline, "_fast_link", True)
+    out_fast = _pipe(
+        params, vae_tiling=True, output_uint8=True, streaming=True
+    ).process_frames(frames)
+    monkeypatch.setattr(DovePipeline, "_fast_link", False)
+    out_slow = _pipe(
+        params, vae_tiling=True, output_uint8=True, streaming=True
+    ).process_frames(frames)
+    np.testing.assert_array_equal(out_fast, out_slow)
+
+
+def test_streaming_overlap_t_maps_to_latent_overlap(params, monkeypatch):
+    """process_frames(overlap_t=N) reaches the streaming DiT window planner
+    as N/4 latent frames (the temporal compression ratio), like the legacy
+    auto-chunk path's pixel-space overlap."""
+    import dove_tpu.pipeline as pl
+
+    seen = []
+    orig = pl.plan_dit_windows
+    monkeypatch.setattr(
+        pl, "plan_dit_windows",
+        lambda n, w, o: (seen.append(o), orig(n, w, o))[1],
+    )
+    frames = np.random.default_rng(8).random((45, 16, 16, 3)).astype(np.float32)
+    p = _pipe(params, vae_tiling=True, output_uint8=True, streaming=True)
+    out = p.process_frames(frames, overlap_t=16)
+    assert out.shape == (45, 64, 64, 3)
+    assert seen == [4]
+
+
 def test_streaming_auto_gate():
     """streaming='auto' engages only for the int8 serving mode."""
     cfg = tiny_test()
