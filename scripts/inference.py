@@ -96,6 +96,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "single-chip (bf16 keeps the reference-semantics "
                         "overlap-chunk path: its caches don't fit next to "
                         "the bf16 DiT on a 16 GB chip)")
+    p.add_argument("--dec_window_cap", type=int, nargs=2, default=None,
+                   metavar=("H", "W"),
+                   help="cap the staged decode window (latents). HBM "
+                        "headroom knob for processes running near the "
+                        "chip's limit: decoder temps shrink ~linearly with "
+                        "window area at the cost of a little extra "
+                        "feather-overlap compute (docs/DESIGN.md §2)")
     return p
 
 
@@ -192,6 +199,9 @@ def load_pipeline(args):
             and args.save_format != "lossless"
         ),
         streaming={"auto": "auto", "on": True, "off": False}[args.streaming],
+        dec_window_cap=(
+            tuple(args.dec_window_cap) if args.dec_window_cap else None
+        ),
     )
 
 

@@ -17,13 +17,20 @@ quantifies the drift END TO END at the flagship scale:
      per-stage relative error and end-to-end PSNR(int8, bf16) over the
      uint8 outputs, as JSON.
 
-Caveat (documented, not hidden): synthetic weights have no trained outlier
-channels. Per-CHANNEL weight quantization absorbs channel-scale outliers by
-construction, but per-tensor dynamic activation quantization could lose
-more accuracy on real checkpoints with activation outliers — the bf16 path
-remains the bit-parity reference (ops/quant.py:16-19), and this report's
-numbers are a realistic-statistics lower bound, not a released-weights
-measurement (none exist in this environment).
+Caveats (documented, not hidden):
+  * synthetic weights have no trained outlier channels. Per-CHANNEL weight
+    quantization absorbs channel-scale outliers by construction, but
+    per-tensor dynamic activation quantization could lose more accuracy on
+    real checkpoints with activation outliers — the bf16 path remains the
+    bit-parity reference (ops/quant.py:16-19), and this report's numbers
+    are a realistic-statistics measurement, not a released-weights one
+    (none exist in this environment).
+  * the int8 run is forced onto the bf16 mode's VAE window plan (see
+    build_pipe) so the numbers isolate quantization: with untrained
+    random weights, per-window GroupNorm statistics make the window
+    geometry itself the dominant output difference (measured 22.5 dB
+    Y-PSNR when comparing across the two modes' native window plans —
+    a number about random projections, not about int8).
 
 Usage (two processes — the bf16 and int8 trees cannot co-reside in 16 GB):
   python scripts/int8_drift_report.py --mode bf16 --out /tmp/drift_bf16.npz
@@ -158,17 +165,21 @@ def build_pipe(preset: str, quantize: str | None):
         output_i420=preset != "tiny",
         quantize=quantize,
         sample_posterior=False,  # deterministic: drift only, no sampling
-        # int8 dec_all at the default 46x42 windows needs ~8.7 GB of temps
-        # — 15.3/16 GB next to the weights. bench.py fits from a clean
-        # allocator; this process's ~700 weight-synthesis programs cost a
-        # few hundred MB of arena fragmentation and OOM at the SAME
-        # bytes_in_use (measured: both 6,608,655,334). Smaller decode
-        # windows (~6.4 GB temps) restore the margin. Geometry note: the
-        # drift comparison is between the SHIPPED modes' outputs (bf16
-        # parity windows 28x28 vs int8 serving windows capped 34x42);
-        # feathered window geometry is part of each mode's definition.
-        dec_window_cap=(34, 42) if quantize else None,
     )
+    if quantize and preset != "tiny":
+        # The int8 serving mode normally plans LARGER VAE windows (46x42 vs
+        # bf16's 32x32/28x28) — legitimate for serving, but a confound
+        # here: GroupNorm statistics are computed per spatial window, so
+        # with UNTRAINED random weights the window plan alone moves outputs
+        # by hundreds of u8 steps (a trained VAE is window-consistent;
+        # random projections are not — see test_dec_window_cap: a window
+        # change alone shifts 79% of tiny-config pixels). Force the bf16
+        # window budget so the comparison isolates QUANTIZATION drift.
+        # Side benefit: 28x28 decode windows need ~3.5 GB of temps instead
+        # of 8.7 GB, clearing the fragmentation OOM this process otherwise
+        # hits at the 46x42 budget (docs/DESIGN.md §2, allocator history).
+        pipe._window_budget = lambda: (2, (32, 32), (28, 28))
+    return pipe
     return pipe
 
 
@@ -249,6 +260,12 @@ def main():
             "preset": args.preset,
             "fixture": [args.frames, args.height, args.width],
             "weights": "synthetic fan-in-scaled normals (see script header)",
+            "window_plan": (
+                "int8 run forced onto the bf16 VAE window budget — isolates "
+                "quantization from per-window GroupNorm geometry (script "
+                "header caveat 2)"
+                if args.preset != "tiny" else "single window (tiny)"
+            ),
             "sample_posterior": False,
             "rel_err": {
                 "enc_moments": rel_err(stages["moments"], ref["moments"]),
