@@ -70,6 +70,20 @@ def init_distributed(
             # TPU pod / GKE: the runtime env carries the topology
             jax.distributed.initialize()
             _INITIALIZED = True
+        if _INITIALIZED and jax.process_count() > 1:
+            # Eagerly establish the cross-process collective context with a
+            # startup sync. Backends create it LAZILY at the first
+            # collective with a short peer-exchange timeout (CPU/Gloo:
+            # 30 s KV GetKeyValue) — if processes reach their first real
+            # collective at very different times (asymmetric compile-cache
+            # warmth, skewed data loading), the early one times out
+            # (measured on the 2-process CPU cluster test, deterministic
+            # with one warm cache). Right after initialize() all processes
+            # are within moments of each other, so the sync both dodges
+            # that race and fail-fasts on broken connectivity.
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("dove:init_distributed")
     return jax.process_index(), jax.process_count()
 
 

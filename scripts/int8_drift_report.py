@@ -95,17 +95,19 @@ def realistic_params(shapes, seed: int, dtype=jnp.bfloat16):
 
 
 def compact_hbm(pipe):
-    """Defragment HBM: round-trip the weight trees through the host.
+    """Round-trip the weight trees through the host (numerically a no-op).
 
     realistic_params materializes ~700 leaves as individual device programs
     whose RNG temps interleave with the weight buffers, and int8 quantization
-    then donates the bf16 kernels away — leaving the surviving int8/aux
-    buffers scattered across HBM. dec_all's multi-GB contiguous conv temps
-    then fail to fit even though total free bytes suffice (measured: OOM at
-    dec_all in int8 mode only; the same program runs from bench.py, whose
-    zeros_tree packs outputs back-to-back with no temps). Pulling every leaf
-    to host, dropping the device buffers, and re-uploading packs the trees
-    tightly. Costs a few minutes of link time; numerically a no-op.
+    then donates the bf16 kernels away. The resulting allocator state OOMs
+    dec_all at the int8 serving window budget (46x42, ~8.7 GB temps) even
+    though bytes_in_use exactly matches a working bench.py process
+    (6,608,655,334 both) — and this round-trip alone does NOT recover the
+    margin (measured: still OOMs at 46x42 after compaction; the arena's
+    chunk structure survives). What actually clears the OOM is the smaller
+    bf16-budget decode windows this script forces anyway for geometry
+    matching (build_pipe). The round-trip is kept as cheap belt-and-braces
+    against upload-order fragmentation; see docs/DESIGN.md §2.
     """
     from dove_tpu.utils.memory import get_memory_statistics
 

@@ -56,6 +56,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
+import jax
+
+# Honor JAX_PLATFORMS=cpu explicitly: the site TPU plugin overrides the env
+# var after parsing (forces "axon,cpu"), so without this the tiny-preset
+# self-tests silently run through the remote TPU tunnel — minutes of remote
+# compile for fixtures a CPU computes in seconds (and chip contention).
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 PSNR_BAR_DB = 50.0
 
 

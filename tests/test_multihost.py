@@ -53,6 +53,13 @@ def test_two_process_cluster_fit(tmp_path):
             DOVE_COORDINATOR=f"127.0.0.1:{port}",
             DOVE_NUM_PROCESSES="2",
             DOVE_PROCESS_ID=str(pid),
+            # Each worker gets its OWN persistent compile cache. Sharing
+            # conftest's cache dir is a trap: after any interrupted run,
+            # one worker cache-hits (instant) while the other compiles
+            # (>30 s on this 1-core host) — the fast worker then times out
+            # Gloo's 30 s KV exchange at the first collective (measured,
+            # deterministic). Per-worker dirs keep warmth SYMMETRIC.
+            JAX_COMPILATION_CACHE_DIR=f"/tmp/dove_jax_test_cache_mh{pid}",
         )
         procs.append(
             subprocess.Popen(

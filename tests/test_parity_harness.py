@@ -64,16 +64,29 @@ def test_parity_selftest_roundtrip(tmp_path):
         assert m["psnr_db"] > 80
 
 
+def _rehash(arr):
+    import hashlib
+
+    return hashlib.sha256(np.ascontiguousarray(arr).tobytes()).hexdigest()
+
+
 @pytest.mark.slow
 def test_parity_detects_mismatch(tmp_path):
-    """A corrupted golden module must FAIL the check (nonzero exit)."""
+    """A divergent golden module must FAIL the check (nonzero exit + report).
+
+    The divergence is simulated the way a real one would arrive: a golden
+    dump whose dit_out disagrees numerically but whose recorded sha256
+    matches its own bytes (a torch-side implementation difference, not file
+    corruption — the checksum gate catches the latter, separately below).
+    """
     fx = tmp_path / "fx.npz"
     r = _run(["--make_fixtures", str(fx), "--preset", "tiny"])
     assert r.returncode == 0, r.stderr
     data = dict(np.load(fx, allow_pickle=False))
-    data["dit_out"] = data["dit_out"] + 0.05  # visible corruption
-    meta = data.pop("meta")
-    np.savez(fx, meta=meta, **data)
+    data["dit_out"] = data["dit_out"] + 0.05  # visible divergence
+    meta = json.loads(str(data.pop("meta")))
+    meta["sha256"]["dit_out"] = _rehash(data["dit_out"])
+    np.savez(fx, meta=json.dumps(meta), **data)
 
     r = _run(["--check", str(fx), "--preset", "tiny"])
     assert r.returncode != 0
@@ -82,3 +95,11 @@ def test_parity_detects_mismatch(tmp_path):
     assert mods["dit_out"]["status"] == "FAIL"
     # the unrelated modules still pass
     assert mods["vae_moments"]["status"] == "PASS"
+
+    # file CORRUPTION (bytes disagree with the recorded checksum) fails
+    # loudly before any numerical comparison
+    data["dit_out"] = data["dit_out"] + 1.0
+    np.savez(fx, meta=json.dumps(meta), **data)
+    r = _run(["--check", str(fx), "--preset", "tiny"])
+    assert r.returncode != 0
+    assert "sha256" in r.stderr
