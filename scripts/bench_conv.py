@@ -128,9 +128,27 @@ def main():
             h = jnp.pad(h[None], ((0, 0), (kt - 1, 0), (0, 0), (0, 0), (0, 0)))
         return h
 
+    from dove_tpu.ops.pallas.conv3d_int8 import conv3d_w8a8
+
+    @jax.jit
+    def pallas_int8(x):
+        # same chain structure as direct3d_int8: dynamic per-tensor quant,
+        # int8 conv w/ int32 accumulate, fp32 rescale, causal repad
+        h = x
+        sk_vec = jnp.broadcast_to(sk, (C,))
+        for _ in range(N):
+            hq, sx = q(h)
+            hq = jnp.pad(
+                hq[0], ((0, 0), (1, 1), (1, 1), (0, 0))
+            )  # spatial same-pad; temporal taps already in F
+            h = conv3d_w8a8(hq, k3q, sx, sk_vec, out_dtype=jnp.bfloat16)[None]
+            h = jnp.pad(h, ((0, 0), (kt - 1, 0), (0, 0), (0, 0), (0, 0)))
+        return h
+
     report("direct3d-int8", direct3d_int8, x)
     report("stacked-bf16", stacked_bf16, x)
     report("stacked-int8", stacked_int8, x)
+    report("pallas-int8", pallas_int8, x)
     del x
 
     # im2col-equivalent matmul: [M, K] x [K, C], K = kt*kh*kw*C. M is capped
