@@ -188,6 +188,9 @@ def conv3d_w8a8(
     Cout = w_q.shape[-1]
     assert Cin % LANE == 0 and Cout % LANE == 0, (Cin, Cout)
     assert w_q.shape[:3] == (3, 3, 3)
+    assert F >= 3, (
+        f"F={F}: input must include the 2 causal cache frames (F = Fo + 2)"
+    )
     Fo, Ho, Wo = F - 2, Hp - 2, Wp - 2
     ncin, ncout = Cin // LANE, Cout // LANE
     W32 = _cdiv(Wp, SUB_I8) * SUB_I8

@@ -171,6 +171,11 @@ class DovePipeline:
     dec_window_cap: tuple[int, int] | None = None
 
     def __post_init__(self):
+        if self.dec_window_cap is not None and min(self.dec_window_cap) <= 2:
+            raise ValueError(
+                "dec_window_cap must exceed the 2-latent feather band "
+                f"(each side >= 3); got {self.dec_window_cap}"
+            )
         self.schedule = Schedule.create(self.config.scheduler)
         self._compiled: dict[tuple, Callable] = {}
         self._staged: dict[str, Callable] = {}
@@ -1122,7 +1127,10 @@ class DovePipeline:
         upscale: int | None = None,
         chunk_len: int = 0,
         tile_size_hw: tuple[int, int] = (0, 0),
-        overlap_t: int = 8,
+        # None = defaults: 8 frames for the legacy chunk path (reference
+        # default), the pipeline's dit_overlap_latents for streaming.
+        # An EXPLICIT value (including 0) is honored by both paths.
+        overlap_t: int | None = None,
         overlap_hw: tuple[int, int] = (32, 32),
         seed: int = 42,
         tile_batch: int = 1,
@@ -1181,11 +1189,15 @@ class DovePipeline:
                     print(f"stage pre: {time.time() - _t_pre:.2f}s", flush=True)
                 out = self._sr_clip_streamed(
                     data, jax.random.PRNGKey(seed),
-                    # honor the caller's temporal-overlap request like the
+                    # honor an explicit temporal-overlap request like the
                     # legacy auto-chunk path does: pixel overlap -> latent
                     # frames (4x temporal ratio), window shape unchanged
-                    # (same compiled programs, different window count/trim)
-                    overlap_lat=max(1, round(overlap_t / 4)),
+                    # (same compiled programs, different window count/trim);
+                    # default to the pipeline's configured latent overlap
+                    overlap_lat=(
+                        None if overlap_t is None
+                        else max(0, round(overlap_t / 4))
+                    ),
                 )[:F]
                 if pad_f:
                     out = out[:-pad_f]
@@ -1203,6 +1215,8 @@ class DovePipeline:
                 if not self.output_uint8:
                     return out.astype(np.float32) / 255.0
                 return out
+            if overlap_t is None:
+                overlap_t = 8  # reference default (inference_script.py)
             if chunk_len == 0 and F > MAX_FRAMES_PER_PASS:
                 chunk_len = MAX_FRAMES_PER_PASS
                 logger.warning(
@@ -1362,6 +1376,9 @@ class DovePipeline:
                 result, pad_f + extra_f, pad_h * upscale, pad_w * upscale
             )
             return result.transpose(1, 2, 3, 0)
+
+        if overlap_t is None:
+            overlap_t = 8  # reference default (inference_script.py)
 
         from dove_tpu import native
 

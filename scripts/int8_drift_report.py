@@ -182,7 +182,6 @@ def build_pipe(preset: str, quantize: str | None):
         # hits at the 46x42 budget (docs/DESIGN.md §2, allocator history).
         pipe._window_budget = lambda: (2, (32, 32), (28, 28))
     return pipe
-    return pipe
 
 
 def run_stages(pipe, frames: int, height: int, width: int):
@@ -234,12 +233,18 @@ def main():
     ap.add_argument("--compare", type=str, default=None,
                     help="bf16 npz to compare against (int8 run)")
     ap.add_argument("--report", type=str, default=None)
+    ap.add_argument("--compact_hbm", action="store_true",
+                    help="round-trip the weight trees through the host "
+                         "after build. Measured NOT to fix the 46x42-"
+                         "window OOM it was built for (the window cap "
+                         "does; see compact_hbm docstring) — off by "
+                         "default, costs minutes of link time")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
     pipe = build_pipe(args.preset, "int8" if args.mode == "int8" else None)
-    if args.mode == "int8" and jax.default_backend() not in ("cpu",):
+    if args.compact_hbm:
         compact_hbm(pipe)
     stages = run_stages(pipe, args.frames, args.height, args.width)
     print(f"{args.mode} stages done in {float(stages['seconds']):.1f}s",

@@ -23,7 +23,7 @@ def _interpret(monkeypatch):
         functools.partial(conv_mod.pl.pallas_call, interpret=True),
     )
     # the jit cache would otherwise reuse a non-interpret trace
-    conv_mod.conv3d_w8a8._clear_cache()
+    conv_mod.conv3d_w8a8.clear_cache()
 
 
 @pytest.mark.parametrize(

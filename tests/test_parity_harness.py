@@ -65,9 +65,16 @@ def test_parity_selftest_roundtrip(tmp_path):
 
 
 def _rehash(arr):
-    import hashlib
+    # use the script's OWN hashing so a recipe change there can't let this
+    # test forge stale checksums
+    import importlib.util
 
-    return hashlib.sha256(np.ascontiguousarray(arr).tobytes()).hexdigest()
+    spec = importlib.util.spec_from_file_location(
+        "parity_check", REPO / "scripts" / "parity_check.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod._sha256(arr)
 
 
 @pytest.mark.slow

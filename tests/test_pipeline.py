@@ -361,6 +361,10 @@ def test_dec_window_cap(params):
         params, vae_tiling=True, dec_window_cap=(4, 4)
     ).process_frames(frames)
     np.testing.assert_array_equal(out_cap, out_cap2)
+    # caps at/below the 2-latent feather band would make the window
+    # planner divide by zero — rejected at construction
+    with pytest.raises(ValueError, match="dec_window_cap"):
+        _pipe(params, vae_tiling=True, dec_window_cap=(2, 4))
 
 
 def test_streaming_slow_link_fenced_dispatch(params, monkeypatch):
