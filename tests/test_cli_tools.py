@@ -152,6 +152,38 @@ def test_inference_cli_data_parallel_staged(tmp_path, monkeypatch):
     assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 64
 
 
+def test_inference_cli_streaming(tmp_path):
+    """Inference CLI with --streaming on + --dec_window_cap: a long clip
+    (> one DiT pass) runs the segmented causal-cache path end to end."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    writer = cv2.VideoWriter(
+        str(in_dir / "s.mp4"), cv2.VideoWriter_fourcc(*"mp4v"), 8, (16, 16)
+    )
+    rng = np.random.default_rng(1)
+    for _ in range(37):
+        writer.write(rng.integers(0, 255, (16, 16, 3), np.uint8))
+    writer.release()
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    import importlib
+
+    inference = importlib.import_module("inference")
+    inference.main([
+        "--input_dir", str(in_dir),
+        "--output_path", str(tmp_path / "out"),
+        "--preset", "tiny",
+        "--is_vae_st",
+        "--streaming", "on",
+        "--dec_window_cap", "3", "3",
+    ])
+    out = tmp_path / "out" / "s.mp4"
+    assert out.exists()
+    cap = cv2.VideoCapture(str(out))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 37
+    assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 64
+
+
 def test_save_video_lossless_roundtrip(tmp_path):
     """'lossless' must mean lossless: write -> read -> BIT-identical frames
     (FFV1/mkv in this OpenCV build; reference writes a lossless mkv too,
