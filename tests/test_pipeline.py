@@ -401,6 +401,16 @@ def test_streaming_overlap_t_maps_to_latent_overlap(params, monkeypatch):
     out = p.process_frames(frames, overlap_t=16)
     assert out.shape == (45, 64, 64, 3)
     assert seen == [4]
+    # with no explicit overlap_t the pipeline's configured latent overlap
+    # governs (an earlier version silently overrode the field with the
+    # overlap_t default)
+    seen.clear()
+    p2 = _pipe(
+        params, vae_tiling=True, output_uint8=True, streaming=True,
+        dit_overlap_latents=3,
+    )
+    p2.process_frames(frames)
+    assert seen == [3]
 
 
 def test_streaming_auto_gate():
