@@ -42,6 +42,42 @@ if _os.environ.get("DOVE_JAX_CACHE"):
 BASELINE_CLIP_SECONDS = 14.90  # DOVE on A100-class GPU (BASELINE.md)
 
 
+def require_backend(timeout_s: int = 240) -> None:
+    """Fail fast (one explanatory JSON line) if the TPU backend is down.
+
+    When the relay tunnel behind the axon backend drops, jax.devices()
+    HANGS on connection retries instead of erroring — a bare bench run
+    would block forever. Probe device discovery on a daemon thread and
+    bail with a parseable record if it does not come up.
+    """
+    import threading
+
+    result = {}
+
+    def probe():
+        try:
+            result["devices"] = [str(d) for d in jax.devices()]
+        except Exception as e:  # pragma: no cover - infra failure path
+            result["error"] = str(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in result:  # pragma: no cover - infra failure path
+        print(json.dumps({
+            "metric": "one_step_4x_vsr_clip_seconds",
+            "value": None,
+            "unit": "TPU backend unavailable — no measurement",
+            "vs_baseline": None,
+            "error": result.get(
+                "error", f"backend init did not complete in {timeout_s}s "
+                "(relay tunnel down?); see docs/reports/BENCH_r03_onchip"
+                ".jsonl for the round's recorded on-chip runs"
+            ),
+        }))
+        sys.exit(1)
+
+
 def zeros_tree(shapes):
     return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
@@ -108,6 +144,8 @@ def main():
         args.preset = "tiny"
         args.frames, args.height, args.width = 9, 32, 32
         args.chunk_len, args.tile = 0, (0, 0)
+    else:
+        require_backend()
 
     pipe = build_pipeline(
         args.preset, vae_tiling=not args.no_vae_tiling,
