@@ -96,17 +96,6 @@ def match_resolution(pred: np.ndarray, gt: np.ndarray, mode: str = "top-left"):
     return crop(pred), crop(gt)
 
 
-def _unavailable(name: str) -> Callable:
-    def fn(*_a, **_k):
-        raise NotImplementedError(
-            f"metric '{name}' needs pretrained feature weights; provide them "
-            f"via dove_tpu.eval.lpips / eval.dists weight loaders (no network "
-            f"access in this environment)"
-        )
-
-    return fn
-
-
 def get_metric(name: str) -> Callable:
     name = name.lower()
     if name == "psnr":
@@ -151,7 +140,13 @@ def get_metric(name: str) -> Callable:
 
         params = load_raft(path)
         return lambda pred: ewarp_clip(params, pred)
-    return _unavailable(name)
+    # every supported metric is dispatched above — anything else is a typo,
+    # and deferring the failure to call time (the old _unavailable path)
+    # produced a misleading "needs weights" message for it
+    raise ValueError(
+        f"unknown metric '{name}'; available: psnr, ssim, lpips, dists, "
+        "clipiqa, niqe, maniqa, musiq, ewarp"
+    )
 
 
 class MetricAccumulator:
