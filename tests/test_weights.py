@@ -102,3 +102,33 @@ def test_converters_handle_fp16_tensors(tmp_path):
     mp = load_musiq(str(path), MCFG)
     leaf = jax.tree_util.tree_leaves(mp)[0]
     assert leaf.dtype == jnp.float32
+
+
+def test_load_prompt_embedding_roundtrip(tmp_path):
+    """Cached T5 embedding loader: synthetic roundtrip + (when the
+    reference checkout is present) the real empty-prompt file the
+    released pipeline ships (SHA-256-of-"" name, (226, 4096) bf16)."""
+    import os
+
+    import ml_dtypes
+    from safetensors.numpy import save_file
+
+    from dove_tpu.weights import load_prompt_embedding
+
+    emb = np.random.default_rng(0).standard_normal((7, 32)).astype(
+        ml_dtypes.bfloat16
+    )
+    p = tmp_path / "e.safetensors"
+    save_file({"prompt_embedding": emb}, str(p))
+    out = load_prompt_embedding(p, jnp.float32)
+    assert out.shape == (7, 32) and out.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out), emb.astype(np.float32))
+
+    ref = (
+        "/root/reference/pretrained_models/prompt_embeddings/"
+        "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+        ".safetensors"
+    )
+    if os.path.exists(ref):  # real released artifact, same file format
+        r = load_prompt_embedding(ref)
+        assert r.shape == (226, 4096) and r.dtype == jnp.bfloat16
