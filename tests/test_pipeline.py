@@ -219,6 +219,24 @@ def test_staged_mesh_chunk_parallel_matches_sequential(params):
     np.testing.assert_array_equal(par, seq)
 
 
+def test_staged_mesh_chunk_parallel_imbalanced_tail(params):
+    """Chunk count not divisible by the mesh: 33 frames at chunk_len 9 /
+    overlap 4 plan 6 chunks over a data=4 mesh — the second round is a
+    partial batch (padded chunks whose outputs are dropped). Still
+    bit-identical to sequential."""
+    from dove_tpu.parallel.mesh import make_mesh
+
+    frames = np.random.default_rng(10).random((33, 8, 8, 3)).astype(np.float32)
+    seq = _pipe(params, vae_tiling=True, output_uint8=True).process_frames(
+        frames, chunk_len=9, overlap_t=4
+    )
+    par = _pipe(params, vae_tiling=True, output_uint8=True).process_frames(
+        frames, chunk_len=9, overlap_t=4, mesh=make_mesh(data=4, model=1)
+    )
+    assert par.shape == seq.shape
+    np.testing.assert_array_equal(par, seq)
+
+
 def test_staged_mesh_chunk_parallel_float_metrics_path(params):
     """--data_parallel composes with --eval_metrics: the float path rides
     the mesh's uint8 trim-assembly and converts host-side — bit-equal to
