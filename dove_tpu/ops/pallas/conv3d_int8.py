@@ -225,9 +225,9 @@ def conv3d_w8a8(
             pl.BlockSpec(
                 (1, LANE), lambda co: (0, co), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((Fo, nh * TH, Wo, Cout), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((RING, ncin, TH + 2, W32, LANE), jnp.int8),
