@@ -53,6 +53,27 @@ def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+def _linear_psum(p: Params, x: jnp.ndarray, tp_axis: str) -> jnp.ndarray:
+    """Row-parallel linear under tensor parallelism (Megatron-style).
+
+    The kernel's INPUT dim is sharded over ``tp_axis`` (each shard sees the
+    x slice produced by its column-parallel predecessor), so the local
+    matmul yields a partial sum — reduce over the axis, then add the
+    replicated bias once. int8 kernels dequantize per shard (the per-output
+    -channel scale is replicated; only the dynamic activation scale becomes
+    per-shard) before the reduction."""
+    if "kernel_q" in p:
+        from dove_tpu.ops.quant import qlinear
+
+        y = qlinear({k: v for k, v in p.items() if k != "bias"}, x)
+    else:
+        y = x @ p["kernel"].astype(x.dtype)
+    y = jax.lax.psum(y, tp_axis)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
 def _layer_norm(x: jnp.ndarray, eps: float, p: Params | None = None) -> jnp.ndarray:
     xf = x.astype(jnp.float32)
     mean = xf.mean(axis=-1, keepdims=True)
@@ -136,14 +157,20 @@ def _attention(
     rope: tuple[jnp.ndarray, jnp.ndarray] | None,
     backend: str | None,
     bounded_logits: bool,
+    tp_axis: str | None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Joint attention over [text | video]; returns (video_out, text_out)."""
     text_len = encoder.shape[1]
     x = jnp.concatenate([encoder, hidden], axis=1)
     B, S, _ = x.shape
-    H, D = cfg.num_attention_heads, cfg.attention_head_dim
+    D = cfg.attention_head_dim
 
-    q = _linear(p["to_q"], x).reshape(B, S, H, D).transpose(0, 2, 1, 3)
+    # Under tensor parallelism the q/k/v kernels are sharded on their output
+    # dim, so each shard owns heads_local = heads / tp — derive the head
+    # count from the projection, not the (global) config.
+    q = _linear(p["to_q"], x)
+    H = q.shape[-1] // D
+    q = q.reshape(B, S, H, D).transpose(0, 2, 1, 3)
     k = _linear(p["to_k"], x).reshape(B, S, H, D).transpose(0, 2, 1, 3)
     v = _linear(p["to_v"], x).reshape(B, S, H, D).transpose(0, 2, 1, 3)
 
@@ -165,14 +192,21 @@ def _attention(
     # running-max-free flash variant is therefore inference-opt-in.
     out = full_attention(q, k, v, backend=backend, bounded_logits=bounded_logits)
     out = out.transpose(0, 2, 1, 3).reshape(B, S, H * D)
-    out = _linear(p["to_out"], out)
+    if tp_axis is None:
+        out = _linear(p["to_out"], out)
+    else:  # row-parallel: local heads' slice of the out-proj + psum
+        out = _linear_psum(p["to_out"], out, tp_axis)
     return out[:, text_len:], out[:, :text_len]
 
 
-def _feed_forward(cfg: DiTConfig, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+def _feed_forward(
+    cfg: DiTConfig, p: Params, x: jnp.ndarray, tp_axis: str | None
+) -> jnp.ndarray:
     h = _linear(p["net_0_proj"], x)
     h = jax.nn.gelu(h, approximate=True)
-    return _linear(p["net_2"], h)
+    if tp_axis is None:
+        return _linear(p["net_2"], h)
+    return _linear_psum(p["net_2"], h, tp_axis)
 
 
 def _block(
@@ -184,6 +218,7 @@ def _block(
     rope: tuple[jnp.ndarray, jnp.ndarray] | None,
     backend: str | None,
     bounded_logits: bool,
+    tp_axis: str | None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     eps = cfg.norm_eps
     # adaLN-zero #1 -> attention
@@ -193,7 +228,8 @@ def _block(
     n_hidden = _layer_norm(hidden, eps, p["norm1"]["norm"]) * (1 + scale) + shift
     n_encoder = _layer_norm(encoder, eps, p["norm1"]["norm"]) * (1 + e_scale) + e_shift
     attn_h, attn_e = _attention(
-        cfg, p["attn1"], n_hidden, n_encoder, rope, backend, bounded_logits
+        cfg, p["attn1"], n_hidden, n_encoder, rope, backend, bounded_logits,
+        tp_axis,
     )
     hidden = hidden + gate * attn_h
     encoder = encoder + e_gate * attn_e
@@ -204,7 +240,9 @@ def _block(
     )
     n_hidden = _layer_norm(hidden, eps, p["norm2"]["norm"]) * (1 + scale) + shift
     n_encoder = _layer_norm(encoder, eps, p["norm2"]["norm"]) * (1 + e_scale) + e_shift
-    ff = _feed_forward(cfg, p["ff"], jnp.concatenate([n_encoder, n_hidden], axis=1))
+    ff = _feed_forward(
+        cfg, p["ff"], jnp.concatenate([n_encoder, n_hidden], axis=1), tp_axis
+    )
     text_len = encoder.shape[1]
     hidden = hidden + gate * ff[:, text_len:]
     encoder = encoder + e_gate * ff[:, :text_len]
@@ -225,6 +263,7 @@ def dit_forward(
     attention_backend: str | None = None,
     remat: bool = False,
     bounded_logits: bool = False,
+    tp_axis: str | None = None,
 ) -> jnp.ndarray:
     """One DiT pass.
 
@@ -235,6 +274,12 @@ def dit_forward(
       bounded_logits: inference-only fast path — skip the flash kernel's
         online-softmax running max (safe only with frozen, near-unit
         qk-layernorm gains; never enable during training).
+      tp_axis: mesh axis name for Megatron-style tensor parallelism — the
+        caller runs this function under ``jax.shard_map`` with the attention
+        q/k/v + MLP-in kernels sharded on their OUTPUT dim and the
+        out-proj + MLP-out kernels on their INPUT dim over that axis
+        (dove_tpu/parallel/tp.py builds the specs); the two row-parallel
+        linears psum over it. None = single-device semantics.
     Returns:
       velocity prediction, [B, F, C_out, H, W].
     """
@@ -276,13 +321,14 @@ def dit_forward(
         block_fn = jax.checkpoint(
             _block,
             policy=jax.checkpoint_policies.nothing_saveable,
-            static_argnums=(0, 6, 7),
+            static_argnums=(0, 6, 7, 8),
         )
 
     def scan_body(carry, layer_params):
         h, e = carry
         h, e = block_fn(
-            cfg, layer_params, h, e, temb, rope, attention_backend, bounded_logits
+            cfg, layer_params, h, e, temb, rope, attention_backend,
+            bounded_logits, tp_axis,
         )
         return (h, e), None
 

@@ -210,6 +210,8 @@ class DovePipeline:
         self.stage_times: dict[str, float] = {}
         self._mesh_key = None  # cache for mesh-replicated params
         self._stream: dict[str, Callable] = {}
+        self._serve_mesh = None  # set by _staged_mesh_params
+        self._dit_call = None  # tensor-parallel DiT forward (parallel/tp.py)
 
     # ------------------------------------------------------------------
     # Device-side one-step SR for a single tile
@@ -426,6 +428,68 @@ class DovePipeline:
         out = jnp.concatenate(result_rows, axis=h_ax)
         return sl(sl(out, 0, out_h, h_ax), 0, out_w, w_ax)
 
+    def _window_map(
+        self, fn: Callable, params: Any, x: jnp.ndarray, coords: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Map an independent spatial-window work-list, mesh-sharded.
+
+        ``fn(params, x, ij) -> window_out``; returns the stack with a
+        leading window axis (like ``lax.map``). Without a serving mesh this
+        IS ``lax.map`` — sequential windows, bounding live temps to one
+        window. On a mesh, the window axis shards over every mesh axis not
+        already carrying the batch (x's batch dim rides "data" when it
+        divides it — the chunk-parallel case), and each shard lax.maps its
+        LOCAL windows, so per-device memory matches the single-device path
+        while a 720p decode's 8-window plan spreads over 8 chips. The
+        work-list pads to the shard count by repeating the last window;
+        padded outputs are redundant compute only (the feather assembly
+        reads windows by index, never the pad).
+
+        Window outputs are computed by identical per-window programs either
+        way, so mesh and single-device results are bit-identical (the DiT's
+        tensor parallelism is the only approximate reshard in mesh serving).
+        """
+        mesh = self._serve_mesh
+        n = int(coords.shape[0])
+        if mesh is None or mesh.size == 1 or n == 1:
+            return jax.lax.map(lambda ij: fn(params, x, ij), coords)
+        from jax.sharding import PartitionSpec as P
+
+        B = x.shape[0]
+        data_ax = None
+        if (
+            B > 1
+            and mesh.shape.get("data", 1) > 1
+            and B % mesh.shape["data"] == 0
+        ):
+            data_ax = "data"
+        win_axes = tuple(
+            a for a in mesh.axis_names if a != data_ax and mesh.shape[a] > 1
+        )
+        if not win_axes:
+            return jax.lax.map(lambda ij: fn(params, x, ij), coords)
+        nshards = 1
+        for a in win_axes:
+            nshards *= mesh.shape[a]
+        pad = (-n) % nshards
+        if pad:
+            coords = jnp.concatenate(
+                [coords, jnp.repeat(coords[-1:], pad, axis=0)]
+            )
+        win_entry = win_axes if len(win_axes) > 1 else win_axes[0]
+
+        def body(c, xx, pp):
+            return jax.lax.map(lambda ij: fn(pp, xx, ij), c)
+
+        out = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(win_entry), P(data_ax), P()),
+            out_specs=P(win_entry, data_ax),
+            check_vma=False,
+        )(coords, x, params)
+        return out[:n] if pad else out
+
     def _window_budget(self) -> tuple[int, tuple[int, int], tuple[int, int]]:
         """(blend_lat, (enc_max_h, enc_max_w), (dec_max_h, dec_max_w)).
 
@@ -513,13 +577,16 @@ class DovePipeline:
                  for r in range(n_rows) for c in range(n_cols)], jnp.int32
             )
 
-            def one(ij):
+            def one(p, x, ij):
+                # sizes from x, not the enclosing scope: under _window_map's
+                # mesh sharding x is the LOCAL batch shard
                 tile = jax.lax.dynamic_slice(
-                    up, (0, 0, ij[0], ij[1], 0), (B, F, th, tw, 3)
+                    x, (0, 0, ij[0], ij[1], 0),
+                    (x.shape[0], x.shape[1], th, tw, 3),
                 )
-                return vae_mod.encode_moments(cfg.vae, params, tile)
+                return vae_mod.encode_moments(cfg.vae, p, tile)
 
-            tiles = jax.lax.map(one, coords)  # [N, B, F', th, tw, 2C]
+            tiles = self._window_map(one, params, up, coords)  # [N, B, F', th, tw, 2C]
             return self._feather_assemble(
                 tiles, n_rows, n_cols,
                 BLEND_LAT if n_rows > 1 else 0,
@@ -545,13 +612,16 @@ class DovePipeline:
                     mode="edge",
                 ) if cover_h > zh or cover_w > zw else z
 
-                def one(ij):
+                def one(p, x, ij):
+                    # sizes from x: under _window_map's mesh sharding x is
+                    # the LOCAL batch shard
                     tile = jax.lax.dynamic_slice(
-                        zp, (0, 0, ij[0], ij[1], 0), (B, Fl, tile_h, tile_w, C)
+                        x, (0, 0, ij[0], ij[1], 0),
+                        (x.shape[0], x.shape[1], tile_h, tile_w, C),
                     )
-                    return vae_mod.decode(cfg.vae, params, tile)
+                    return vae_mod.decode(cfg.vae, p, tile)
 
-                tiles = jax.lax.map(one, jnp.asarray(
+                tiles = self._window_map(one, params, zp, jnp.asarray(
                     [(r * stride_h, c * stride_w)
                      for r in range(n_rows) for c in range(n_cols)], jnp.int32
                 ))  # [N, B, F, th*s, tw*s, 3]
@@ -579,6 +649,7 @@ class DovePipeline:
                 cfg, self.schedule, dit_params, latent, text,
                 noise_rng, remat=False, attention_backend=self.attention_backend,
                 bounded_logits=True,  # frozen qk-layernorm gains at inference
+                dit_fn=self._dit_call,  # tensor-parallel forward when meshed
             )
             return x0 / jnp.asarray(cfg.vae.scaling_factor, x0.dtype)
 
@@ -626,9 +697,10 @@ class DovePipeline:
         env = os.environ.get("DOVE_STREAMING")
         if env is not None:
             return env not in ("0", "false", "off")
-        if mesh is not None and mesh.shape.get("data", 1) > 1:
-            # chunk-parallel mesh serving scales ~N-fold across chips;
-            # streaming is a single-chip path.
+        if mesh is not None and mesh.size > 1:
+            # mesh serving (chunk-parallel over "data" and/or window+tensor
+            # parallel with "model") scales across chips; streaming is a
+            # single-chip path.
             return False
         if self.streaming == "auto":
             # bf16 cannot hold the decode-phase conv caches next to a
@@ -735,7 +807,7 @@ class DovePipeline:
             x0 = one_step_x0_latent(
                 cfg, self.schedule, dit_params, lat_win, text, rng,
                 remat=False, attention_backend=self.attention_backend,
-                bounded_logits=True,
+                bounded_logits=True, dit_fn=self._dit_call,
             )
             return x0 / jnp.asarray(cfg.vae.scaling_factor, x0.dtype)
 
@@ -1005,6 +1077,16 @@ class DovePipeline:
         # uint8 clip comes back. Transfer volume drops ~6x vs moving the
         # upscaled video + decoded tiles across the host boundary.
         lq = jnp.asarray(clip[None], self.dtype)
+        prompt = self.prompt_embedding
+        if self._serve_mesh is not None and self._serve_mesh.size > 1:
+            # mesh serving of a SINGLE chunk: replicate the inputs so they
+            # compose with the mesh-placed weights (windows shard over free
+            # mesh axes; the DiT runs tensor-parallel over "model")
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self._serve_mesh, P())
+            lq = jax.device_put(lq, rep)
+            prompt = jax.device_put(prompt, rep)
         moments = fns["enc_all"](self.vae_params, lq)
         # Stage barriers are REQUIRED, not just for timing: with 10.4 GB of
         # resident DiT weights, a queued DiT program's temp allocation must
@@ -1015,9 +1097,7 @@ class DovePipeline:
         if timing:
             print(f"stage enc: {t1 - t0:.2f}s", flush=True)
 
-        z = fns["dit"](
-            self.dit_params, self.prompt_embedding, moments, rng
-        )
+        z = fns["dit"](self.dit_params, prompt, moments, rng)
         self._barrier(z)
         t2 = time.time()
         self.stage_times["dit"] = self.stage_times.get("dit", 0.0) + (t2 - t1)
@@ -1041,9 +1121,14 @@ class DovePipeline:
         return out_u8.astype(np.float32) / 255.0
 
     def _staged_mesh_params(self, mesh):
-        """Replicate the weights over a serving mesh (cached per mesh).
+        """Place the weights on a serving mesh (cached per mesh).
 
-        The replicated copies REPLACE self.*_params (keeping the originals
+        VAE weights replicate; DiT weights replicate too unless the mesh has
+        a "model" axis > 1, in which case they take the Megatron tensor-
+        parallel layout (dove_tpu/parallel/tp.py) and self._dit_call becomes
+        the shard_map TP forward every serving path routes through.
+
+        The re-placed copies REPLACE self.*_params (keeping the originals
         committed to one device next to the replicas would double parameter
         residency there — a bf16 5B DiT alone would then exceed a v5e chip).
         Under donate_weights the reshard runs as a DONATED jit identity so
@@ -1063,8 +1148,27 @@ class DovePipeline:
             else:
                 reshard = lambda t: jax.device_put(t, rep)
             self.vae_params = reshard(self.vae_params)
-            self.dit_params = reshard(self.dit_params)
+            if mesh.shape.get("model", 1) > 1:
+                from dove_tpu.parallel import tp as tp_mod
+
+                self.dit_params = tp_mod.shard_dit_tp(
+                    self.dit_params, mesh, donate=self.donate_weights
+                )
+                self._dit_call = tp_mod.make_tp_dit(
+                    mesh, self.config.dit,
+                    attention_backend=self.attention_backend,
+                    bounded_logits=True,
+                )
+            else:
+                self.dit_params = reshard(self.dit_params)
+                self._dit_call = None
             self._mesh_key = mesh
+            self._serve_mesh = mesh
+            # compiled programs trace against the mesh state (window
+            # sharding, the TP dit_fn) — drop them so they rebuild
+            self._staged = {}
+            self._stream = {}
+            self._compiled = {}
         prompt = jax.device_put(self.prompt_embedding, rep)
         return self.vae_params, self.dit_params, prompt
 
@@ -1083,8 +1187,9 @@ class DovePipeline:
         t0 = time.time()
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        fns = self._staged_fns()
+        # mesh params FIRST: a mesh change drops the cached staged programs
         vae_p, dit_p, prompt = self._staged_mesh_params(mesh)
+        fns = self._staged_fns()
         lq = jax.device_put(
             jnp.asarray(batch, self.dtype), NamedSharding(mesh, P("data"))
         )
@@ -1161,6 +1266,12 @@ class DovePipeline:
             _timing = bool(_os.environ.get("DOVE_STAGE_TIMING"))
             self.stage_times = {}
             _t_pre = time.time()
+            if mesh is not None and mesh.size > 1:
+                # place weights on the mesh up front so EVERY staged route
+                # below (single chunk included) serves distributed: spatial
+                # windows shard over free axes, the DiT runs tensor-parallel
+                # when the mesh has a "model" axis (parallel/tp.py)
+                self._staged_mesh_params(mesh)
             lq = padded * 2.0 - 1.0  # [-1, 1] at LQ resolution
             F, Hl, Wl, _ = lq.shape
             H, W = Hl * upscale, Wl * upscale

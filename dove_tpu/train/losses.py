@@ -33,9 +33,14 @@ def one_step_x0_latent(
     remat: bool = True,
     attention_backend: str | None = None,
     bounded_logits: bool = False,
+    dit_fn: Any | None = None,
 ) -> jnp.ndarray:
     """Shared one-step denoise core: returns x-hat_0 in [B, F', h, w, C]
-    (patch_size_t padding applied and stripped internally)."""
+    (patch_size_t padding applied and stripped internally).
+
+    dit_fn: optional replacement forward ``(params, z, text, t) -> v_pred``
+    (e.g. the tensor-parallel shard_map wrapper from dove_tpu/parallel/tp.py,
+    which bakes in remat/backend/bounded_logits); default is dit_forward."""
     B = lq_latent.shape[0]
     pt = cfg.dit.patch_size_t
     ncopy = 0
@@ -53,11 +58,14 @@ def one_step_x0_latent(
         z = schedule.add_noise(z, noise, t_add)
 
     t_sr = jnp.full((B,), cfg.sr_noise_step, jnp.int32)
-    v_pred = dit_forward(
-        dit_params, cfg.dit, z, text_embeds, t_sr,
-        remat=remat, attention_backend=attention_backend,
-        bounded_logits=bounded_logits,
-    )
+    if dit_fn is not None:
+        v_pred = dit_fn(dit_params, z, text_embeds, t_sr)
+    else:
+        v_pred = dit_forward(
+            dit_params, cfg.dit, z, text_embeds, t_sr,
+            remat=remat, attention_backend=attention_backend,
+            bounded_logits=bounded_logits,
+        )
     x0 = schedule.velocity_to_x0(v_pred, z, t_sr)
     if ncopy:
         x0 = x0[:, ncopy:]

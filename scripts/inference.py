@@ -87,6 +87,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="N-chip data mesh: shards tile batches (fused path) "
                         "or temporal chunks (staged --is_vae_st path) — "
                         "independent work, ~N-fold wall-time cut")
+    p.add_argument("--tensor_parallel", type=int, default=0,
+                   help="Megatron-style tensor parallelism for the DiT over "
+                        "the mesh 'model' axis (staged --is_vae_st path "
+                        "only): cuts SINGLE-clip latency, composes with "
+                        "--data_parallel (mesh = data x model; spatial VAE "
+                        "windows also shard over free mesh axes). Must "
+                        "divide the DiT's head count / widths")
     p.add_argument("--streaming", type=str, default="auto",
                    choices=["auto", "on", "off"],
                    help="long-clip streaming: contiguous segments with "
@@ -241,7 +248,21 @@ def main(argv=None):
     save_futures = []
 
     mesh = None
-    if args.data_parallel > 1:
+    if args.tensor_parallel > 1:
+        if not args.is_vae_st:
+            raise SystemExit(
+                "--tensor_parallel serves the staged path; add --is_vae_st"
+            )
+        from dove_tpu.parallel.mesh import make_mesh
+        from dove_tpu.parallel.tp import validate_tp
+
+        validate_tp(pipe.config.dit, args.tensor_parallel)
+        mesh = make_mesh(
+            data=max(1, args.data_parallel), model=args.tensor_parallel
+        )
+        # weight placement (TP DiT shardings + replicated VAE) happens in
+        # the pipeline's _staged_mesh_params on first use
+    elif args.data_parallel > 1:
         from dove_tpu.parallel.mesh import make_mesh, shard_params
 
         mesh = make_mesh(data=args.data_parallel, model=1)
