@@ -106,6 +106,61 @@ def shard_dit_tp(
     return jax.device_put(params, shardings, donate=donate)
 
 
+def _path_key(entry) -> Any:
+    """Normalize a tree-path entry (DictKey/GetAttrKey/SequenceKey) to its
+    plain key so param paths and optimizer-state paths compare equal."""
+    for attr in ("key", "name", "idx"):
+        if hasattr(entry, attr):
+            return getattr(entry, attr)
+    return str(entry)
+
+
+def opt_state_tp_specs(opt_state: Any, params: Any, axis: str = "model") -> Any:
+    """PartitionSpec tree for an optimizer state over TP-sharded params.
+
+    Optimizer moments that mirror a param (same trailing tree path AND same
+    shape — adam/adamw mu/nu, CAME m) take that param's TP spec so the jitted
+    update step never reshards 5B-scale moments against 5B-scale grads.
+    Everything else — counts, factored CAME row/col stats (param shape with a
+    dim removed, O(sqrt) size), 8-bit block-quantized moments (reshaped) —
+    replicates: correct for any optimizer, and small by construction for the
+    states that actually reshape.
+    """
+    pspecs = dit_tp_specs(params, axis)
+    pleaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    sleaves = jax.tree_util.tree_flatten_with_path(
+        pspecs, is_leaf=lambda x: isinstance(x, P)
+    )[0]
+    by_path: dict[tuple, tuple[tuple, P]] = {}
+    for (ppath, pleaf), (_, spec) in zip(pleaves, sleaves):
+        key = tuple(_path_key(e) for e in ppath)
+        by_path[key] = (tuple(pleaf.shape), spec)
+
+    def assign(path, leaf) -> P:
+        shape = tuple(getattr(leaf, "shape", ()))
+        key = tuple(_path_key(e) for e in path)
+        for start in range(len(key)):
+            hit = by_path.get(key[start:])
+            if hit is not None and hit[0] == shape:
+                return hit[1]
+        return P()
+
+    return jax.tree_util.tree_map_with_path(assign, opt_state)
+
+
+def shard_opt_state_tp(
+    opt_state: Any, params: Any, mesh: Mesh, axis: str = "model"
+) -> Any:
+    """Place a freshly-initialized optimizer state on the mesh with
+    param-matched TP shardings (see :func:`opt_state_tp_specs`)."""
+    shardings = jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        opt_state_tp_specs(opt_state, params, axis),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    return jax.device_put(opt_state, shardings)
+
+
 def make_tp_dit(
     mesh: Mesh,
     cfg: DiTConfig,

@@ -82,6 +82,10 @@ class Args(BaseModel):
     ########## Parallelism (TPU mesh; replaces DDP/ZeRO/NCCL) ##########
     data_parallel: int = 0  # 0 = all devices on the data axis
     fsdp: int = 1  # size of the "model" axis (param/optimizer sharding)
+    # Megatron-style tensor parallelism for the DiT over the "model" axis
+    # (parallel/tp.py): shards the per-step DiT compute, not just storage.
+    # Mutually exclusive with fsdp>1 (both own the "model" axis).
+    tensor_parallel: int = 1
     # run jax.distributed.initialize() at startup (multi-node analog of the
     # reference's `accelerate launch --multi_gpu` over NCCL)
     multihost: bool = False
@@ -152,6 +156,12 @@ class Args(BaseModel):
             raise ValueError("do_validation requires validation_dir")
         if self.model_type == "real-sr-image-video" and self.image_column is None:
             raise ValueError("real-sr-image-video needs image_column")
+        if self.tensor_parallel > 1 and self.fsdp > 1:
+            raise ValueError(
+                "tensor_parallel and fsdp both shard over the 'model' mesh "
+                "axis — use one (tensor_parallel already shards the DiT "
+                "params and optimizer moments like fsdp does)"
+            )
         return self
 
     # ------------------------------------------------------------------

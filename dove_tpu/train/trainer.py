@@ -102,7 +102,16 @@ class Trainer:
         )
         self.schedule = Schedule.create(self.config.scheduler)
 
-        data_axis = args.data_parallel or len(jax.devices()) // args.fsdp
+        # "model" axis: fsdp (param/opt storage sharding) OR tensor_parallel
+        # (Megatron DiT compute sharding, parallel/tp.py) — mutually
+        # exclusive by Args validation.
+        model_axis = args.fsdp
+        if args.tensor_parallel > 1:
+            from dove_tpu.parallel.tp import validate_tp
+
+            validate_tp(self.config.dit, args.tensor_parallel)
+            model_axis = args.tensor_parallel
+        data_axis = args.data_parallel or len(jax.devices()) // model_axis
         if args.batch_size % data_axis:
             # fold the data axis down so the global batch shards evenly
             while data_axis > 1 and args.batch_size % data_axis:
@@ -111,7 +120,8 @@ class Trainer:
                 "batch_size %d not divisible by data axis; using data=%d",
                 args.batch_size, data_axis,
             )
-        self.mesh = mesh_mod.make_mesh(data=data_axis, model=args.fsdp)
+        self.mesh = mesh_mod.make_mesh(data=data_axis, model=model_axis)
+        self._dit_fn = None  # tensor-parallel DiT forward when tp>1
         self.global_step = 0
         self._log_file = None
         self._tb = None  # tensorboard SummaryWriter when report_to asks for it
@@ -156,9 +166,23 @@ class Trainer:
                 np.float32,
             )
 
-        # Mesh placement: base weights FSDP-sharded over "model" (ZeRO-3
-        # analog); with fsdp=1 this is plain replication.
-        self.dit_params = mesh_mod.shard_params(self.dit_params, self.mesh, "model")
+        # Mesh placement: base DiT weights FSDP-sharded over "model" (ZeRO-3
+        # analog; fsdp=1 = replication) — or the Megatron tensor-parallel
+        # layout when tensor_parallel>1, in which case every DiT forward in
+        # training routes through the shard_map TP wrapper (losses.py's
+        # dit_fn hook). The VAE stays FSDP-style either way.
+        if args.tensor_parallel > 1:
+            from dove_tpu.parallel import tp as tp_mod
+
+            self.dit_params = tp_mod.shard_dit_tp(self.dit_params, self.mesh)
+            self._dit_fn = tp_mod.make_tp_dit(
+                self.mesh, self.config.dit,
+                remat=args.gradient_checkpointing,
+            )
+        else:
+            self.dit_params = mesh_mod.shard_params(
+                self.dit_params, self.mesh, "model"
+            )
         self.vae_params = mesh_mod.shard_params(self.vae_params, self.mesh, "model")
 
         if args.training_type == "lora":
@@ -304,10 +328,22 @@ class Trainer:
                 self.optimizer, args.gradient_accumulation_steps
             )
         # optimizer moments shard like their params (ZeRO analog); scalars
-        # replicate onto the mesh so every leaf lives on the same devices
-        self.opt_state = mesh_mod.shard_params(
-            self.optimizer.init(self.trainable_params()), self.mesh, "model"
-        )
+        # replicate onto the mesh so every leaf lives on the same devices.
+        # SFT under tensor parallelism instead matches moments to the TP
+        # param layout so the jitted update never reshards 5B-scale moments
+        # against TP-sharded grads (LoRA trainables keep the generic layout
+        # — they are small and not TP-sharded).
+        if args.tensor_parallel > 1 and args.training_type != "lora":
+            from dove_tpu.parallel import tp as tp_mod
+
+            self.opt_state = tp_mod.shard_opt_state_tp(
+                self.optimizer.init(self.trainable_params()),
+                self.trainable_params(), self.mesh,
+            )
+        else:
+            self.opt_state = mesh_mod.shard_params(
+                self.optimizer.init(self.trainable_params()), self.mesh, "model"
+            )
 
     # -- loss core (stage-specific) --
 
@@ -716,7 +752,7 @@ class DOVES1Trainer(Trainer):
         }
         return losses.stage1_loss(
             self.config, self.schedule, dit, loss_batch, fwd_rng,
-            remat=self.args.gradient_checkpointing,
+            remat=self.args.gradient_checkpointing, dit_fn=self._dit_fn,
         )
 
 
@@ -804,7 +840,7 @@ class DOVES2Trainer(Trainer):
             perceptual_weight=perceptual_weight,
             frame_diff_weight=a.frame_diff_weight,
             perceptual_fn=self.perceptual_fn,
-            remat=a.gradient_checkpointing,
+            remat=a.gradient_checkpointing, dit_fn=self._dit_fn,
         )
 
 
