@@ -138,12 +138,22 @@ def main():
                          "weights, dynamic int8 activations, MXU int32 "
                          "accumulation); 'none' benches the bf16 "
                          "bit-parity path")
+    ap.add_argument("--data_parallel", type=int, default=1,
+                    help="multi-chip mesh 'data' axis (temporal chunks / "
+                         "spatial windows shard); needs that many devices")
+    ap.add_argument("--tensor_parallel", type=int, default=1,
+                    help="multi-chip mesh 'model' axis (Megatron DiT TP, "
+                         "parallel/tp.py); needs data*model devices")
     args = ap.parse_args()
 
     if args.tiny:
         args.preset = "tiny"
         args.frames, args.height, args.width = 9, 32, 32
         args.chunk_len, args.tile = 0, (0, 0)
+        # --tiny is the CPU smoke: force the platform in-process (the site
+        # plugin ignores JAX_PLATFORMS env, and the axon backend HANGS when
+        # its relay tunnel is down). Must run before first backend use.
+        jax.config.update("jax_platforms", "cpu")
     else:
         require_backend()
 
@@ -151,6 +161,25 @@ def main():
         args.preset, vae_tiling=not args.no_vae_tiling,
         quantize=None if args.quantize == "none" else args.quantize,
     )
+
+    mesh = None
+    n_mesh = args.data_parallel * args.tensor_parallel
+    if n_mesh > 1:
+        from dove_tpu.parallel.mesh import make_mesh
+
+        have = len(jax.devices())
+        if have < n_mesh:
+            print(json.dumps({
+                "metric": "one_step_4x_vsr_clip_seconds", "value": None,
+                "unit": f"{n_mesh}-chip mesh requested, {have} devices",
+                "vs_baseline": None,
+            }))
+            sys.exit(1)
+        if args.tensor_parallel > 1:
+            from dove_tpu.parallel.tp import validate_tp
+
+            validate_tp(pipe.config.dit, args.tensor_parallel)
+        mesh = make_mesh(data=args.data_parallel, model=args.tensor_parallel)
 
     rng = np.random.default_rng(0)
     frames = rng.random((args.frames, args.height, args.width, 3), np.float32)
@@ -162,6 +191,7 @@ def main():
         chunk_len=args.chunk_len,
         tile_size_hw=tuple(args.tile),
         tile_batch=args.tile_batch,
+        mesh=mesh,
     )
     compile_and_first = time.time() - t0
 
@@ -182,6 +212,7 @@ def main():
                 chunk_len=args.chunk_len,
                 tile_size_hw=tuple(args.tile),
                 tile_batch=args.tile_batch,
+                mesh=mesh,
             )
             times.append(time.time() - t0)
             stage_splits.append(dict(pipe.stage_times))
@@ -196,7 +227,8 @@ def main():
     result = {
         "metric": "one_step_4x_vsr_clip_seconds",
         "value": round(clip_seconds, 3),
-        "unit": f"s per {args.frames}-frame {args.height * 4}x{args.width * 4} clip (1 chip)",
+        "unit": f"s per {args.frames}-frame {args.height * 4}x{args.width * 4} clip "
+                f"({n_mesh} chip{'s' if n_mesh > 1 else ''})",
         "vs_baseline": round(BASELINE_CLIP_SECONDS / clip_seconds, 3),
         "detail": {
             "frames_per_second": round(fps, 2),
@@ -211,6 +243,8 @@ def main():
             "device": str(jax.devices()[0]),
             "preset": args.preset,
             "quantize": args.quantize,
+            "mesh": {"data": args.data_parallel, "model": args.tensor_parallel}
+                    if mesh is not None else None,
         },
     }
     print(json.dumps(result))
