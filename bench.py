@@ -164,6 +164,12 @@ def main():
 
     mesh = None
     n_mesh = args.data_parallel * args.tensor_parallel
+    if args.tensor_parallel > 1 and args.no_vae_tiling:
+        # fused outer-tile path only shards the tile batch over "data"; a
+        # model axis would sit idle while the JSON reported N-chip scaling
+        # (inference.py guards the same combination)
+        ap.error("--tensor_parallel serves the staged (VAE-tiling) path; "
+                 "drop --no_vae_tiling")
     if n_mesh > 1:
         from dove_tpu.parallel.mesh import make_mesh
 

@@ -1140,7 +1140,19 @@ class DovePipeline:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         rep = NamedSharding(mesh, P())
-        if self._mesh_key is not mesh:
+        # equality, not identity: a caller building a fresh (but ==) Mesh
+        # per clip must hit the cache — a miss re-places 5B-scale weights
+        # and drops every compiled program
+        if self._mesh_key != mesh:
+            tp_n = mesh.shape.get("model", 1)
+            if tp_n > 1:
+                from dove_tpu.parallel import tp as tp_mod
+
+                # clear ValueError (not a low-level device_put sharding
+                # error) when the TP degree doesn't divide heads/widths —
+                # library callers pass meshes directly, bypassing the CLIs;
+                # validate BEFORE any weights move/donate
+                tp_mod.validate_tp(self.config.dit, tp_n)
             if self.donate_weights:
                 reshard = jax.jit(
                     lambda t: t, out_shardings=rep, donate_argnums=0
@@ -1148,9 +1160,7 @@ class DovePipeline:
             else:
                 reshard = lambda t: jax.device_put(t, rep)
             self.vae_params = reshard(self.vae_params)
-            if mesh.shape.get("model", 1) > 1:
-                from dove_tpu.parallel import tp as tp_mod
-
+            if tp_n > 1:
                 self.dit_params = tp_mod.shard_dit_tp(
                     self.dit_params, mesh, donate=self.donate_weights
                 )
