@@ -206,3 +206,38 @@ def test_trainer_lora_tp_step(tmp_path):
 def test_args_rejects_tp_plus_fsdp():
     with pytest.raises(ValueError, match="tensor_parallel"):
         Args(model_path="x", tensor_parallel=2, fsdp=2)
+
+
+@pytest.mark.slow  # two full fit() runs (~1 min); fast lane guards its budget
+def test_resume_fsdp_checkpoint_under_tp(tmp_path):
+    """Cross-layout resume: a checkpoint written under fsdp=2 restores into
+    a tensor_parallel=2 trainer (orbax reshards values into the template's
+    TP shardings) — the layout-migration path real fleets hit when changing
+    parallelism mid-run."""
+    from tests.test_trainer import _base_args
+    from dove_tpu.train.trainer import DOVES1Trainer
+
+    root = _tiny_data(tmp_path / "data")
+    out = tmp_path / "out"
+    args = _base_args(
+        root, out, training_type="sft", fsdp=2, data_parallel=2,
+        train_steps=1, checkpointing_steps=1,
+    )
+    DOVES1Trainer(args).fit()
+    assert (out / "checkpoint-1").exists()
+
+    args2 = _base_args(
+        root, out, training_type="sft", tensor_parallel=2, data_parallel=2,
+        train_steps=2, checkpointing_steps=5,
+    )
+    trainer2 = DOVES1Trainer(args2)
+    trainer2.fit()
+    assert trainer2.global_step == 2
+    qk = trainer2.dit_params["blocks"]["attn1"]["to_q"]["kernel"]
+    assert qk.sharding.spec[-1] == "model"  # restored INTO the TP layout
+    import json as _json
+
+    rec = _json.loads(
+        (out / "train_log.jsonl").read_text().strip().splitlines()[-1]
+    )
+    assert np.isfinite(rec["loss"])
