@@ -1262,6 +1262,18 @@ class DovePipeline:
         upscale = self.config.upscale if upscale is None else upscale
         padded, (pad_f, pad_h, pad_w) = tiling.pad_video(frames)
 
+        if (
+            mesh is not None
+            and mesh.shape.get("model", 1) > 1
+            and not (self.vae_tiling and tuple(tile_size_hw) == (0, 0))
+        ):
+            # the fused outer-tile path only shards tile batches over
+            # "data" — a silent idle model axis would misreport scaling
+            raise ValueError(
+                "a mesh 'model' axis (tensor parallelism) requires the "
+                "staged path: vae_tiling=True without outer tiles"
+            )
+
         if self.vae_tiling and tuple(tile_size_hw) == (0, 0):
             # Reference-default path: full-frame DiT, VAE handles memory.
             # The x4 upscale happens ON DEVICE inside the staged encode, so
