@@ -149,6 +149,32 @@ def unpatchify(
 # Transformer block (scanned)
 # ---------------------------------------------------------------------------
 
+def _token_shard(
+    fn, x: jnp.ndarray, sp: tuple[str, int], axis: int, out_axis: int
+) -> jnp.ndarray:
+    """Sequence parallelism over a manual mesh axis (inside shard_map).
+
+    Token rows are independent under ``fn`` (attention output rows depend
+    only on their own query row; MLP rows are per-token), so each shard
+    computes its token slice of ``x`` and the slices all-gather back.
+    Zero-pads the token dim to the shard count; padded rows are discarded
+    after the gather, so they are redundant compute only."""
+    name, n = sp
+    S = x.shape[axis]
+    pad = (-S) % n
+    if pad:
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, pad)
+        x = jnp.pad(x, widths)
+    chunk = (S + pad) // n
+    i = jax.lax.axis_index(name)
+    xl = jax.lax.dynamic_slice_in_dim(x, i * chunk, chunk, axis)
+    y = jax.lax.all_gather(fn(xl), name, axis=out_axis, tiled=True)
+    if pad:
+        y = jax.lax.slice_in_dim(y, 0, S, axis=out_axis)
+    return y
+
+
 def _attention(
     cfg: DiTConfig,
     p: Params,
@@ -158,6 +184,7 @@ def _attention(
     backend: str | None,
     bounded_logits: bool,
     tp_axis: str | None,
+    sp: tuple[str, int] | None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Joint attention over [text | video]; returns (video_out, text_out)."""
     text_len = encoder.shape[1]
@@ -190,23 +217,36 @@ def _attention(
     # ONLY while the gains stay near their pretrained ~1 magnitude — true at
     # inference, not guaranteed mid-training where gamma is trainable. The
     # running-max-free flash variant is therefore inference-opt-in.
-    out = full_attention(q, k, v, backend=backend, bounded_logits=bounded_logits)
-    out = out.transpose(0, 2, 1, 3).reshape(B, S, H * D)
-    if tp_axis is None:
-        out = _linear(p["to_out"], out)
-    else:  # row-parallel: local heads' slice of the out-proj + psum
-        out = _linear_psum(p["to_out"], out, tp_axis)
+    def core(qc: jnp.ndarray) -> jnp.ndarray:
+        # attention + out-projection for a [B, H, Sq, D] query slice
+        # (K/V stay full — the kernel takes Sq != Skv by design)
+        o = full_attention(qc, k, v, backend=backend, bounded_logits=bounded_logits)
+        o = o.transpose(0, 2, 1, 3).reshape(B, qc.shape[2], H * D)
+        if tp_axis is None:
+            return _linear(p["to_out"], o)
+        # row-parallel: local heads' slice of the out-proj + psum (on the
+        # token slice under sp — the psum volume drops by the sp degree)
+        return _linear_psum(p["to_out"], o, tp_axis)
+
+    out = core(q) if sp is None else _token_shard(core, q, sp, 2, 1)
     return out[:, text_len:], out[:, :text_len]
 
 
 def _feed_forward(
-    cfg: DiTConfig, p: Params, x: jnp.ndarray, tp_axis: str | None
+    cfg: DiTConfig,
+    p: Params,
+    x: jnp.ndarray,
+    tp_axis: str | None,
+    sp: tuple[str, int] | None,
 ) -> jnp.ndarray:
-    h = _linear(p["net_0_proj"], x)
-    h = jax.nn.gelu(h, approximate=True)
-    if tp_axis is None:
-        return _linear(p["net_2"], h)
-    return _linear_psum(p["net_2"], h, tp_axis)
+    def core(xc: jnp.ndarray) -> jnp.ndarray:
+        h = _linear(p["net_0_proj"], xc)
+        h = jax.nn.gelu(h, approximate=True)
+        if tp_axis is None:
+            return _linear(p["net_2"], h)
+        return _linear_psum(p["net_2"], h, tp_axis)
+
+    return core(x) if sp is None else _token_shard(core, x, sp, 1, 1)
 
 
 def _block(
@@ -219,6 +259,7 @@ def _block(
     backend: str | None,
     bounded_logits: bool,
     tp_axis: str | None,
+    sp: tuple[str, int] | None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     eps = cfg.norm_eps
     # adaLN-zero #1 -> attention
@@ -229,7 +270,7 @@ def _block(
     n_encoder = _layer_norm(encoder, eps, p["norm1"]["norm"]) * (1 + e_scale) + e_shift
     attn_h, attn_e = _attention(
         cfg, p["attn1"], n_hidden, n_encoder, rope, backend, bounded_logits,
-        tp_axis,
+        tp_axis, sp,
     )
     hidden = hidden + gate * attn_h
     encoder = encoder + e_gate * attn_e
@@ -241,7 +282,8 @@ def _block(
     n_hidden = _layer_norm(hidden, eps, p["norm2"]["norm"]) * (1 + scale) + shift
     n_encoder = _layer_norm(encoder, eps, p["norm2"]["norm"]) * (1 + e_scale) + e_shift
     ff = _feed_forward(
-        cfg, p["ff"], jnp.concatenate([n_encoder, n_hidden], axis=1), tp_axis
+        cfg, p["ff"], jnp.concatenate([n_encoder, n_hidden], axis=1), tp_axis,
+        sp,
     )
     text_len = encoder.shape[1]
     hidden = hidden + gate * ff[:, text_len:]
@@ -264,6 +306,7 @@ def dit_forward(
     remat: bool = False,
     bounded_logits: bool = False,
     tp_axis: str | None = None,
+    sp: tuple[str, int] | None = None,
 ) -> jnp.ndarray:
     """One DiT pass.
 
@@ -280,6 +323,13 @@ def dit_forward(
         out-proj + MLP-out kernels on their INPUT dim over that axis
         (dove_tpu/parallel/tp.py builds the specs); the two row-parallel
         linears psum over it. None = single-device semantics.
+      sp: (mesh axis name, size) for sequence parallelism over a SECOND
+        manual axis whose shards would otherwise compute redundantly (the
+        batch is replicated there): the attention core + out-proj and the
+        MLP token-shard over it and all-gather back (attention rows depend
+        only on their own query row — K/V stay full, no ring needed).
+        Composes with tp_axis; parallel/tp.py enables it automatically for
+        the single-clip serving case.
     Returns:
       velocity prediction, [B, F, C_out, H, W].
     """
@@ -321,14 +371,14 @@ def dit_forward(
         block_fn = jax.checkpoint(
             _block,
             policy=jax.checkpoint_policies.nothing_saveable,
-            static_argnums=(0, 6, 7, 8),
+            static_argnums=(0, 6, 7, 8, 9),
         )
 
     def scan_body(carry, layer_params):
         h, e = carry
         h, e = block_fn(
             cfg, layer_params, h, e, temb, rope, attention_backend,
-            bounded_logits, tp_axis,
+            bounded_logits, tp_axis, sp,
         )
         return (h, e), None
 

@@ -20,6 +20,14 @@ the body is the UNMODIFIED ``dit_forward`` with ``tp_axis`` set — the Pallas
 flash-attention kernel runs per shard on its local heads, which GSPMD could
 not partition through a custom call.
 
+When the batch CANNOT shard over the residual data axes (single-clip
+latency: B=1 on a data x model mesh), those axes carry SEQUENCE parallelism
+instead (``dit_forward(sp=...)``): each shard computes its token slice of
+the attention core (+out-proj) and the MLP and all-gathers — attention
+output rows depend only on their own query row, so K/V stay full and no
+ring pass is needed. ~75% of block FLOPs (S^2 attention + MLP) then scale
+over BOTH mesh axes.
+
 Exactness: splitting a contraction reorders floating-point accumulation, so
 TP output matches single-device output to dtype tolerance, not bit-for-bit
 (the bf16-path PSNR>50dB parity bar applies at tp=1). The int8 serving mode
@@ -175,8 +183,10 @@ def make_tp_dit(
 
     Batch handling: if the batch divides the mesh's residual data axes (the
     chunk-parallel serving case, B == data), it shards over them; otherwise
-    the batch is replicated there (single-clip latency case — use data=1 so
-    no chip computes redundantly).
+    the batch is replicated there and the residual axis instead carries
+    SEQUENCE parallelism (dit_forward's ``sp``): each shard computes its
+    token slice of the attention core + MLP and all-gathers — the
+    single-clip latency case keeps every chip busy.
     """
     tp = mesh.shape[axis]
     validate_tp(cfg, tp)
@@ -191,16 +201,20 @@ def make_tp_dit(
         text_embeds: jnp.ndarray,
         timestep: jnp.ndarray,
     ) -> jnp.ndarray:
+        sp = None
         if data_axes and latent.shape[0] % dp == 0:
             bspec = P(data_axes if len(data_axes) > 1 else data_axes[0])
         else:
             bspec = P()
+            if len(data_axes) == 1:  # token-shard over the idle axis
+                sp = (data_axes[0], mesh.shape[data_axes[0]])
 
         def body(p, z, text, t):
             return dit_forward(
                 p, cfg, z, text, t,
                 attention_backend=attention_backend,
                 remat=remat, bounded_logits=bounded_logits, tp_axis=axis,
+                sp=sp,
             )
 
         fn = jax.shard_map(

@@ -61,6 +61,24 @@ def test_tp_dit_matches_single_device(params, dit_inputs, tp_n):
     assert _rel_err(out, ref) < 1e-5
 
 
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (8, 1), (2, 4)])
+def test_sp_single_batch_matches_single_device(params, dit_inputs, mesh_shape):
+    """B=1 (batch can't shard over 'data'): the residual data axis carries
+    sequence parallelism — token-sharded attention core + MLP, all-gathered
+    — composing with TP over 'model'. Covers the pad path (tiny sequence
+    not divisible by the sp degree)."""
+    cfg, dit_params, _, _ = params
+    z, text, t = dit_inputs
+    z, text, t = z[:1], text[:1], t[:1]
+    ref = dit_forward(dit_params, cfg.dit, z, text, t)
+    data, model = mesh_shape
+    mesh = make_mesh(data=data, model=model)
+    sharded = tp.shard_dit_tp(dit_params, mesh, donate=False)
+    out = jax.jit(tp.make_tp_dit(mesh, cfg.dit))(sharded, z, text, t)
+    assert out.shape == ref.shape
+    assert _rel_err(out, ref) < 1e-5
+
+
 def test_tp_composes_with_batch_sharding(params, dit_inputs):
     """data=2 x model=2: the batch shards over "data", TP over "model"."""
     cfg, dit_params, _, _ = params
