@@ -213,8 +213,11 @@ def test_chunk_parallel_composes_with_tp(params):
     assert diff.max() <= 1
 
 
-def test_single_clip_tp_int8_runs(params):
-    """int8 serving mode + TP: quantized param tree shards and serves."""
+@pytest.mark.parametrize("data,model", [(1, 2), (2, 2)])
+def test_single_clip_tp_int8_runs(params, data, model):
+    """int8 serving mode + TP: quantized param tree shards and serves.
+    (2, 2) additionally engages sequence parallelism over the idle data
+    axis (B=1), exercising qlinear on token slices."""
     cfg, dit, vae, prompt = params
     pipe = DovePipeline(
         config=cfg, dit_params=dit, vae_params=vae, prompt_embedding=prompt,
@@ -222,5 +225,5 @@ def test_single_clip_tp_int8_runs(params):
         donate_weights=False, vae_tiling=True, output_uint8=True,
         quantize="int8", dec_window_cap=(3, 3),
     )
-    out = pipe.process_frames(FRAMES, mesh=make_mesh(data=1, model=2))
+    out = pipe.process_frames(FRAMES, mesh=make_mesh(data=data, model=model))
     assert out.dtype == np.uint8 and out.shape == (9, 32, 32, 3)
