@@ -198,7 +198,8 @@ def jax_outputs(cfg, dit_params, vae_params, inputs) -> dict[str, np.ndarray]:
                 hidden = joint[:, encoder.shape[1]:]
         layer0 = jax.tree.map(lambda x: x[0], dit_params["blocks"])
         hidden, _ = dit_mod._block(
-            cfg.dit, layer0, hidden, encoder, temb, rope, None, False
+            cfg.dit, layer0, hidden, encoder, temb, rope, None, False,
+            None, None,  # tp_axis, sp: single-device semantics
         )
         return hidden
 
