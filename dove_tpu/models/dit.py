@@ -150,26 +150,35 @@ def unpatchify(
 # ---------------------------------------------------------------------------
 
 def _token_shard(
-    fn, x: jnp.ndarray, sp: tuple[str, int], axis: int, out_axis: int
+    fn,
+    x: jnp.ndarray,
+    sp: tuple[str | tuple[str, ...], int],
+    axis: int,
+    out_axis: int,
 ) -> jnp.ndarray:
-    """Sequence parallelism over a manual mesh axis (inside shard_map).
+    """Sequence parallelism over manual mesh axes (inside shard_map).
 
     Token rows are independent under ``fn`` (attention output rows depend
     only on their own query row; MLP rows are per-token), so each shard
     computes its token slice of ``x`` and the slices all-gather back.
     Zero-pads the token dim to the shard count; padded rows are discarded
-    after the gather, so they are redundant compute only."""
+    after the gather, so they are redundant compute only. ``sp`` is
+    (axis name or tuple of names, total size); with several names the flat
+    shard index is row-major over them, matching all_gather's tuple order."""
+    from dove_tpu.ops.pallas.flash_attention import _pad_to
+
     name, n = sp
+    names = (name,) if isinstance(name, str) else tuple(name)
     S = x.shape[axis]
     pad = (-S) % n
     if pad:
-        widths = [(0, 0)] * x.ndim
-        widths[axis] = (0, pad)
-        x = jnp.pad(x, widths)
+        x = _pad_to(x, axis, n)
     chunk = (S + pad) // n
-    i = jax.lax.axis_index(name)
+    i = jax.lax.axis_index(names[0])
+    for nm in names[1:]:
+        i = i * jax.lax.psum(1, nm) + jax.lax.axis_index(nm)
     xl = jax.lax.dynamic_slice_in_dim(x, i * chunk, chunk, axis)
-    y = jax.lax.all_gather(fn(xl), name, axis=out_axis, tiled=True)
+    y = jax.lax.all_gather(fn(xl), names, axis=out_axis, tiled=True)
     if pad:
         y = jax.lax.slice_in_dim(y, 0, S, axis=out_axis)
     return y
@@ -323,8 +332,9 @@ def dit_forward(
         out-proj + MLP-out kernels on their INPUT dim over that axis
         (dove_tpu/parallel/tp.py builds the specs); the two row-parallel
         linears psum over it. None = single-device semantics.
-      sp: (mesh axis name, size) for sequence parallelism over a SECOND
-        manual axis whose shards would otherwise compute redundantly (the
+      sp: (mesh axis name or tuple of names, total size) for sequence
+        parallelism over further manual axes whose shards would otherwise
+        compute redundantly (the
         batch is replicated there): the attention core + out-proj and the
         MLP token-shard over it and all-gather back (attention rows depend
         only on their own query row — K/V stay full, no ring needed).

@@ -57,7 +57,12 @@ def full_attention(
     range — lets the flash kernel drop its online-softmax running max (the
     DiT's qk-layernorm guarantees this; see flash_attention docstring)."""
     if backend is None:
-        backend = "flash" if (_flash_available() and q.shape[-2] >= 2048) else "xla"
+        # key the threshold on the LONGER side: under sequence parallelism
+        # the query is a slice (Sq = S/sp) but K/V stay full, and the naive
+        # path's logits buffer is O(Sq * Skv) — a short q must not fall back
+        # to materializing rows against an 18k-token K
+        s_max = max(q.shape[-2], k.shape[-2])
+        backend = "flash" if (_flash_available() and s_max >= 2048) else "xla"
     if backend in ("flash", "flash-qk8"):
         from dove_tpu.ops.pallas.flash_attention import (
             DEFAULT_BLOCK_K, DEFAULT_BLOCK_Q, flash_attention,

@@ -206,8 +206,10 @@ def make_tp_dit(
             bspec = P(data_axes if len(data_axes) > 1 else data_axes[0])
         else:
             bspec = P()
-            if len(data_axes) == 1:  # token-shard over the idle axis
-                sp = (data_axes[0], mesh.shape[data_axes[0]])
+            if data_axes:  # token-shard over the idle axis/axes
+                sp = (
+                    data_axes if len(data_axes) > 1 else data_axes[0], dp
+                )
 
         def body(p, z, text, t):
             return dit_forward(

@@ -79,6 +79,23 @@ def test_sp_single_batch_matches_single_device(params, dit_inputs, mesh_shape):
     assert _rel_err(out, ref) < 1e-5
 
 
+def test_sp_over_multiple_residual_axes(params, dit_inputs):
+    """A 3-axis mesh (replica=2, data=2, model=2) serving B=1: BOTH
+    residual axes carry sequence parallelism (flat row-major shard index
+    over the tuple, matching all_gather's ordering)."""
+    from jax.sharding import Mesh
+
+    cfg, dit_params, _, _ = params
+    z, text, t = dit_inputs
+    z, text, t = z[:1], text[:1], t[:1]
+    ref = dit_forward(dit_params, cfg.dit, z, text, t)
+    devs = np.array(jax.devices()[:8]).reshape(2, 2, 2)
+    mesh = Mesh(devs, ("replica", "data", "model"))
+    sharded = tp.shard_dit_tp(dit_params, mesh, donate=False)
+    out = jax.jit(tp.make_tp_dit(mesh, cfg.dit))(sharded, z, text, t)
+    assert _rel_err(out, ref) < 1e-5
+
+
 def test_tp_composes_with_batch_sharding(params, dit_inputs):
     """data=2 x model=2: the batch shards over "data", TP over "model"."""
     cfg, dit_params, _, _ = params

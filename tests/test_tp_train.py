@@ -85,6 +85,39 @@ def test_tp_train_step_matches_single_device(setup):
     assert max(errs) < 5e-4, f"worst param rel err {max(errs):.2e}"
 
 
+def test_sp_gradients_match_single_device(setup):
+    """A batch that cannot shard over 'data' (B=1) routes the TRAINING
+    forward through sequence parallelism too — gradients through the
+    token-shard slice/all_gather transposes must match single-device."""
+    cfg, schedule, params, batch = setup
+    b1 = jax.tree.map(lambda x: x[:1], batch)
+
+    def loss_ref(p):
+        return stage1_loss(cfg, schedule, p, b1, jax.random.PRNGKey(3), remat=True)[0]
+
+    g_ref = jax.grad(loss_ref)(params)
+
+    mesh = make_mesh(data=2, model=2)
+    sharded = tp.shard_dit_tp(params, mesh, donate=False)
+    dit_fn = tp.make_tp_dit(mesh, cfg.dit, remat=True)
+
+    def loss_tp(p):
+        return stage1_loss(
+            cfg, schedule, p, b1, jax.random.PRNGKey(3), remat=True,
+            dit_fn=dit_fn,
+        )[0]
+
+    with mesh:
+        g_tp = jax.jit(jax.grad(loss_tp))(sharded)
+
+    def rel(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-12)
+
+    errs = jax.tree.leaves(jax.tree.map(rel, g_tp, g_ref))
+    assert max(errs) < 1e-4, f"worst grad rel err {max(errs):.2e}"
+
+
 def test_opt_state_tp_specs(setup):
     """adam mu/nu mirror the param TP specs; counts/scalars replicate; a
     gradient-accumulation (MultiSteps) wrapper's param-shaped accumulators
