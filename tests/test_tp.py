@@ -122,6 +122,23 @@ def test_tp_int8_close_to_sequential_int8(params, dit_inputs):
     assert _rel_err(out, ref) < 3e-2
 
 
+def test_sp_int8_close_to_sequential_int8(params, dit_inputs):
+    """int8 + sequence parallelism (B=1 on data=2 x model=2): the dynamic
+    activation scale becomes per-token-slice for the row-parallel inputs —
+    close to, not equal to, sequential int8."""
+    from dove_tpu.ops.quant import quantize_dit
+
+    cfg, dit_params, _, _ = params
+    z, text, t = dit_inputs
+    z, text, t = z[:1], text[:1], t[:1]
+    qp = quantize_dit(dit_params, donate=False)
+    ref = dit_forward(qp, cfg.dit, z, text, t)
+    mesh = make_mesh(data=2, model=2)
+    sharded = tp.shard_dit_tp(qp, mesh, donate=False)
+    out = jax.jit(tp.make_tp_dit(mesh, cfg.dit))(sharded, z, text, t)
+    assert _rel_err(out, ref) < 3e-2
+
+
 def test_tp_specs_layout(params):
     cfg, dit_params, _, _ = params
     specs = tp.dit_tp_specs(dit_params, "model")
