@@ -152,6 +152,46 @@ def test_inference_cli_data_parallel_staged(tmp_path, monkeypatch):
     assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 64
 
 
+@pytest.mark.slow  # second staged-mesh compile set (~40 s on this box)
+def test_inference_cli_tensor_parallel(tmp_path):
+    """Full inference CLI with --is_vae_st --tensor_parallel 2
+    --data_parallel 2 on the virtual CPU mesh: hybrid chunk-parallel + TP
+    (+ sequence-parallel on the tail chunk group) end to end through
+    main(); also pins the flag validation."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    writer = cv2.VideoWriter(
+        str(in_dir / "c.mp4"), cv2.VideoWriter_fourcc(*"mp4v"), 8, (16, 16)
+    )
+    rng = np.random.default_rng(1)
+    for i in range(14):
+        writer.write(rng.integers(0, 255, (16, 16, 3), np.uint8))
+    writer.release()
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    import importlib
+
+    inference = importlib.import_module("inference")
+    with pytest.raises(SystemExit, match="is_vae_st"):
+        inference.main([
+            "--input_dir", str(in_dir), "--output_path", str(tmp_path / "x"),
+            "--preset", "tiny", "--tensor_parallel", "2",
+        ])
+    inference.main([
+        "--input_dir", str(in_dir),
+        "--output_path", str(tmp_path / "out"),
+        "--preset", "tiny",
+        "--is_vae_st",
+        "--chunk_len", "9", "--overlap_t", "4",
+        "--tensor_parallel", "2", "--data_parallel", "2",
+    ])
+    out = tmp_path / "out" / "c.mp4"
+    assert out.exists()
+    cap = cv2.VideoCapture(str(out))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 14
+    assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 64
+
+
 def test_inference_cli_streaming(tmp_path):
     """Inference CLI with --streaming on + --dec_window_cap: a long clip
     (> one DiT pass) runs the segmented causal-cache path end to end."""
