@@ -76,6 +76,11 @@ class VAEConfig:
     norm_eps: float = 1e-6
     temporal_compression_ratio: int = 4
     scaling_factor: float = 0.7
+    # Carried for diffusers-config compatibility but INTENTIONALLY not
+    # consumed: the DOVE reference multiplies encoded latents by
+    # scaling_factor unconditionally (inference_script.py:409,
+    # lora_one_s1_trainer.py:69) even though the 1.5 VAE config sets this
+    # flag — we match the reference's behavior, not diffusers'.
     invert_scale_latents: bool = False
     # Frame-slicing batch sizes used by chunked encode/decode (diffusers'
     # num_sample_frames_batch_size / num_latent_frames_batch_size are 8 / 2).

@@ -44,24 +44,6 @@ Cache = dict[str, jnp.ndarray]
 # Primitives
 # ---------------------------------------------------------------------------
 
-def _conv3d(p: Params, x: jnp.ndarray, strides=(1, 1, 1), padding="VALID") -> jnp.ndarray:
-    """x: [B, F, H, W, C]; kernel: [kD, kH, kW, Cin, Cout]."""
-    if "kernel_q" in p:  # int8 serving mode (ops/quant.py)
-        from dove_tpu.ops.quant import qconv
-
-        return qconv(p, x, strides, padding, ("NDHWC", "DHWIO", "NDHWC"))
-    y = jax.lax.conv_general_dilated(
-        x,
-        p["kernel"].astype(x.dtype),
-        window_strides=strides,
-        padding=padding,
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-    )
-    if "bias" in p:
-        y = y + p["bias"].astype(x.dtype)
-    return y
-
-
 def _conv2d(p: Params, x: jnp.ndarray, strides=(1, 1), padding="VALID") -> jnp.ndarray:
     """Per-frame 2D conv: x [B, F, H, W, C], kernel [kH, kW, Cin, Cout]."""
     B, F = x.shape[:2]
@@ -637,6 +619,56 @@ def tiled_decode(
     return out[:, :, : h * s, : w * s]
 
 
+def _np_blend(a, b, extent: int, axis: int):
+    """Feathered linear cross-fade of b's leading band with a's trailing
+    band along ``axis`` (NumPy host-side counterpart of _blend_v/_blend_h)."""
+    import numpy as np
+
+    extent = min(a.shape[axis], b.shape[axis], extent)
+    if extent <= 0:
+        return b
+    shape = [1] * b.ndim
+    shape[axis] = extent
+    wgt = (np.arange(extent, dtype=np.float32) / extent).reshape(shape)
+    a_band = np.take(a, range(a.shape[axis] - extent, a.shape[axis]), axis)
+    b_band = np.take(b, range(extent), axis)
+    rest = np.take(b, range(extent, b.shape[axis]), axis)
+    return np.concatenate([a_band * (1 - wgt) + b_band * wgt, rest], axis)
+
+
+def _host_rows_assemble(
+    dispatch_row, n_rows: int, blend_h: int, blend_w: int,
+    row_limit_h: int, row_limit_w: int, out_h: int, out_w: int,
+):
+    """Row-ahead pipelined host assembly shared by the tiled encode/decode
+    host paths: dispatch row ri+1's device work before pulling row ri, blend
+    feathered bands in NumPy, crop to the stride grid, final-crop the output.
+
+    dispatch_row(ri) -> list of in-flight device tiles for row ri (or
+    anything np.asarray can pull); device HBM only ever holds one extra row.
+    """
+    import numpy as np
+
+    prev_row: list = []
+    result_rows = []
+    pending = dispatch_row(0)
+    for ri in range(n_rows):
+        nxt = dispatch_row(ri + 1) if ri + 1 < n_rows else None
+        row = [np.asarray(t, np.float32) for t in pending]
+        pending = nxt
+        out_row = []
+        for j, tile in enumerate(row):
+            if prev_row:
+                tile = _np_blend(prev_row[j], tile, blend_h, 2)
+            if j > 0:
+                tile = _np_blend(row[j - 1], tile, blend_w, 3)
+            out_row.append(tile[:, :, :row_limit_h, :row_limit_w])
+        result_rows.append(np.concatenate(out_row, axis=3))
+        prev_row = row
+    out = np.concatenate(result_rows, axis=2)
+    return out[:, :, :out_h, :out_w]
+
+
 def tiled_encode_moments_host(
     cfg: VAEConfig, video_shape: tuple, encode_fn,
 ) -> "np.ndarray":
@@ -663,46 +695,19 @@ def tiled_encode_moments_host(
     row_limit_h = lat_h - blend_h
     row_limit_w = lat_w - blend_w
 
-    def np_blend(a, b, extent, axis):
-        extent = min(a.shape[axis], b.shape[axis], extent)
-        if extent <= 0:
-            return b
-        shape = [1] * b.ndim
-        shape[axis] = extent
-        wgt = (np.arange(extent, dtype=np.float32) / extent).reshape(shape)
-        a_band = np.take(a, range(a.shape[axis] - extent, a.shape[axis]), axis)
-        b_band = np.take(b, range(extent), axis)
-        rest = np.take(b, range(extent, b.shape[axis]), axis)
-        return np.concatenate([a_band * (1 - wgt) + b_band * wgt, rest], axis)
-
-    # Row-ahead pipelining: dispatch row i+1's device work before pulling
-    # row i to host, overlapping device compute with host blending.
     row_starts = list(range(0, H, overlap_h))
 
-    def dispatch(i):
+    def dispatch(ri):
+        i = row_starts[ri]
         return [
             encode_fn(i, min(i + tile_h, H), j, min(j + tile_w, W))
             for j in range(0, W, overlap_w)
         ]
 
-    prev_row: list = []
-    result_rows = []
-    pending = dispatch(row_starts[0])
-    for ri in range(len(row_starts)):
-        nxt = dispatch(row_starts[ri + 1]) if ri + 1 < len(row_starts) else None
-        row = [np.asarray(t, np.float32) for t in pending]
-        pending = nxt
-        out_row = []
-        for j, tile in enumerate(row):
-            if prev_row:
-                tile = np_blend(prev_row[j], tile, blend_h, 2)
-            if j > 0:
-                tile = np_blend(row[j - 1], tile, blend_w, 3)
-            out_row.append(tile[:, :, :row_limit_h, :row_limit_w])
-        result_rows.append(np.concatenate(out_row, axis=3))
-        prev_row = row
-    out = np.concatenate(result_rows, axis=2)
-    return out[:, :, : H // s, : W // s]
+    return _host_rows_assemble(
+        dispatch, len(row_starts), blend_h, blend_w,
+        row_limit_h, row_limit_w, H // s, W // s,
+    )
 
 
 def tiled_decode_host(
@@ -732,47 +737,22 @@ def tiled_decode_host(
     row_limit_h = tile_h - blend_h
     row_limit_w = tile_w - blend_w
 
-    def np_blend(a, b, extent, axis):
-        extent = min(a.shape[axis], b.shape[axis], extent)
-        if extent <= 0:
-            return b
-        shape = [1] * b.ndim
-        shape[axis] = extent
-        wgt = (np.arange(extent, dtype=np.float32) / extent).reshape(shape)
-        a_band = np.take(a, range(a.shape[axis] - extent, a.shape[axis]), axis)
-        b_band = np.take(b, range(extent), axis)
-        rest = np.take(b, range(extent, b.shape[axis]), axis)
-        return np.concatenate([a_band * (1 - wgt) + b_band * wgt, rest], axis)
-
-    # Row-ahead pipelining (see tiled_encode_moments_host). One extra row of
+    # Row-ahead pipelining (see _host_rows_assemble). One extra row of
     # decoded tiles lives on device at a time — bounded, unlike full-clip
     # accumulation.
     row_starts = list(range(0, h, overlap_h))
 
-    def dispatch(i):
+    def dispatch(ri):
+        i = row_starts[ri]
         return [
             decode_fn(i, min(i + lat_h, h), j, min(j + lat_w, w))
             for j in range(0, w, overlap_w)
         ]
 
-    prev_row: list = []
-    result_rows = []
-    pending = dispatch(row_starts[0])
-    for ri in range(len(row_starts)):
-        nxt = dispatch(row_starts[ri + 1]) if ri + 1 < len(row_starts) else None
-        row = [np.asarray(t, np.float32) for t in pending]
-        pending = nxt
-        out_row = []
-        for j, tile in enumerate(row):
-            if prev_row:
-                tile = np_blend(prev_row[j], tile, blend_h, 2)
-            if j > 0:
-                tile = np_blend(row[j - 1], tile, blend_w, 3)
-            out_row.append(tile[:, :, :row_limit_h, :row_limit_w])
-        result_rows.append(np.concatenate(out_row, axis=3))
-        prev_row = row
-    out = np.concatenate(result_rows, axis=2)
-    return out[:, :, : h * s, : w * s]
+    return _host_rows_assemble(
+        dispatch, len(row_starts), blend_h, blend_w,
+        row_limit_h, row_limit_w, h * s, w * s,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -35,7 +35,7 @@ Reference semantics matched: dove_tpu.ops.quant's W8A8 scheme — symmetric
 per-tensor dynamic activation scale sx, symmetric per-output-channel
 weight scales sk, int32 accumulation, fp32 dequant epilogue
 (quant.py:1-21). Causal temporal padding is the CALLER's job, as in the
-XLA path (vae._conv3d prepends the cache frames).
+XLA path (vae.causal_conv3d prepends the cache frames).
 """
 
 from __future__ import annotations

@@ -11,7 +11,7 @@ scheme:
   * int8 x int8 -> int32 accumulation on the MXU, fp32 dequant epilogue.
 
 Quantized layers carry ``{"kernel_q": int8, "kernel_scale": f32[out]}`` in
-place of ``{"kernel": ...}``; the model forwards (dit._linear, vae._conv3d/
+place of ``{"kernel": ...}``; the model forwards (dit._linear, vae.causal_conv3d/
 _conv2d) dispatch on key presence, so the same model code serves both modes.
 Opt-in via ``DovePipeline(quantize="int8")`` / ``--quantize int8``: expected
 quality cost is small but nonzero (validate against released weights with

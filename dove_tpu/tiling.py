@@ -64,9 +64,10 @@ def temporal_chunks(num_frames: int, chunk_len: int, overlap_t: int = 8) -> list
     if stride <= 0:
         raise ValueError("chunk_len must be greater than overlap_t")
 
-    starts = list(range(0, num_frames - overlap_t, stride))
-    if starts and starts[-1] + chunk_len < num_frames:
-        starts.append(num_frames - chunk_len)
+    # or [0]: a clip no longer than the overlap is one (short) chunk, not
+    # zero chunks. (A trailing gap is impossible for non-empty starts: the
+    # last start s satisfies s + chunk_len >= num_frames by construction.)
+    starts = list(range(0, num_frames - overlap_t, stride)) or [0]
 
     chunks = [(s, min(s + chunk_len, num_frames)) for s in starts]
     if len(chunks) >= 2 and chunks[-1][1] - chunks[-1][0] < chunk_len:
@@ -82,7 +83,10 @@ def _axis_tiles(size: int, tile: int, overlap: int) -> list[int]:
         raise ValueError("tile size must be greater than overlap")
     starts = list(range(0, size - overlap, stride))
     if not starts or starts[-1] + tile < size:
-        starts.append(size - tile)
+        # max(..., 0): an axis shorter than the tile (or the overlap) is a
+        # single tile from 0 — a negative start would claim rows the slice
+        # cannot deliver
+        starts.append(max(size - tile, 0))
     if len(starts) >= 2 and starts[-1] + tile > size:
         starts.pop()
     return starts
@@ -162,7 +166,10 @@ def valid_region(
 
     def _axis(start: int, end: int, size: int, ov: int) -> tuple[slice, slice]:
         length = end - start
-        v0 = 0 if start == 0 else ov // 2
+        # leading edge gives up ceil(ov/2), trailing gives floor(ov/2):
+        # the two sides of a shared band must sum to exactly ov, which
+        # ov//2 + ov//2 misses for odd overlaps (double-written seam row)
+        v0 = 0 if start == 0 else ov - ov // 2
         v1 = length if end == size else length - ov // 2
         return slice(v0, v1), slice(start + v0, start + v1)
 

@@ -68,6 +68,12 @@ def test_spatial_tiles_golden(case, expected):
         (97, 288, 512, 24, (160, 224), 8, (32, 32)),
         (9, 96, 96, 0, (0, 0), 8, (32, 32)),
         (41, 144, 176, 16, (96, 112), 8, (16, 16)),
+        # edge cases from review: clip no longer than the temporal overlap
+        (7, 96, 96, 16, (0, 0), 8, (32, 32)),
+        # axis shorter than the tile / than the overlap
+        (9, 32, 200, 0, (128, 128), 8, (32, 32)),
+        # odd overlaps (ceil/floor trim split must sum exactly)
+        (33, 192, 320, 16, (128, 128), 7, (31, 31)),
     ],
 )
 def test_exact_coverage(F, H, W, chunk_len, tile, ot, ohw):
