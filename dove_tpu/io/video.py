@@ -41,10 +41,16 @@ def read_image_folder(folder: str | Path) -> np.ndarray:
     files = sorted(
         p for p in Path(folder).iterdir() if p.suffix.lower() in IMAGE_EXTS
     )
-    frames = [
-        cv2.cvtColor(cv2.imread(str(p), cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
-        for p in files
-    ]
+    if files and all(p.stem.isdigit() for p in files):
+        # frame dumps use {i:03d}.png (reference convention) — clips with
+        # 1000+ frames need numeric order, lexicographic puts 1000 < 999
+        files.sort(key=lambda p: int(p.stem))
+    frames = []
+    for p in files:
+        img = cv2.imread(str(p), cv2.IMREAD_COLOR)
+        if img is None:  # imread never raises — name the offending file
+            raise ValueError(f"unreadable image: {p}")
+        frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
     if not frames:
         raise ValueError(f"no images in {folder}")
     return np.stack(frames).astype(np.float32) / 255.0
@@ -59,7 +65,10 @@ def load_sequence(path: str | Path) -> np.ndarray:
         if is_video_file(path):
             return read_video_frames(path)
         if path.suffix.lower() in IMAGE_EXTS:
-            img = cv2.cvtColor(cv2.imread(str(path), cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
+            raw = cv2.imread(str(path), cv2.IMREAD_COLOR)
+            if raw is None:  # imread never raises — name the offending file
+                raise ValueError(f"unreadable image: {path}")
+            img = cv2.cvtColor(raw, cv2.COLOR_BGR2RGB)
             return img[None].astype(np.float32) / 255.0
     raise ValueError(f"Unsupported input: {path}")
 
@@ -200,7 +209,9 @@ def bilinear_upscale(
 
 
 def list_videos(input_dir: str | Path) -> list[Path]:
-    files: list[Path] = []
-    for ext in VIDEO_EXTS:
-        files.extend(Path(input_dir).glob(f"*{ext}"))
-    return sorted(files)
+    # filter by is_video_file (case-insensitive) rather than glob patterns:
+    # camera files like CLIP.MP4 must not be silently skipped on Linux
+    return sorted(
+        p for p in Path(input_dir).iterdir()
+        if p.is_file() and is_video_file(p)
+    )

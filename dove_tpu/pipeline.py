@@ -86,6 +86,26 @@ def plan_dit_windows(
     ]
 
 
+
+def _trim_output(out, pad_f: int, pad_h: int, pad_w: int, upscale: int):
+    """Strip the pad_video padding from a finished clip (uint8 RGB [F,H,W,3]
+    or planar I420 [F,H*3/2,W]) — the shared tail of every staged return."""
+    from dove_tpu.io import video as video_io
+
+    if pad_f:
+        out = out[:-pad_f]
+    if (pad_h or pad_w) and video_io.is_i420(out):
+        Hp2 = out.shape[1] * 2 // 3
+        return tiling.i420_crop(
+            out, Hp2 - pad_h * upscale, out.shape[2] - pad_w * upscale
+        )
+    if pad_h:
+        out = out[:, : -pad_h * upscale]
+    if pad_w:
+        out = out[:, :, : -pad_w * upscale]
+    return out
+
+
 @dataclasses.dataclass
 class DovePipeline:
     """One-step 4x VSR with temporal chunking + spatial tiling."""
@@ -238,11 +258,14 @@ class DovePipeline:
                 cfg.vae.scaling_factor,
             )  # [B, F', h, w, C]
 
-            # patch_size_t alignment: prepend copies of the first latent frame
+            # patch_size_t alignment: prepend copies of the first latent
+            # frame. (pt - F % pt) % pt, not the reference's F % pt
+            # (inference_script.py:413, asserted pt==2-only there) — equal
+            # for pt=2, correct for any pt.
             pt = cfg.dit.patch_size_t
             ncopy = 0
             if pt is not None:
-                ncopy = latent.shape[1] % pt
+                ncopy = (pt - latent.shape[1] % pt) % pt
                 if ncopy:
                     first = jnp.repeat(latent[:, :1], ncopy, axis=1)
                     latent = jnp.concatenate([first, latent], axis=1)
@@ -696,12 +719,22 @@ class DovePipeline:
 
         env = os.environ.get("DOVE_STREAMING")
         if env is not None:
-            return env not in ("0", "false", "off")
+            return env.lower() not in ("0", "false", "off", "no", "")
         if mesh is not None and mesh.size > 1:
             # mesh serving (chunk-parallel over "data" and/or window+tensor
             # parallel with "model") scales across chips; streaming is a
-            # single-chip path.
+            # single-chip path (takes precedence over an explicit "on").
             return False
+        # accept the CLI's on/off vocabulary for library callers too —
+        # bool("off") is True, a silent footgun with a `str | bool` field
+        if isinstance(self.streaming, str) and self.streaming != "auto":
+            if self.streaming.lower() in ("0", "false", "off", "no"):
+                return False
+            if self.streaming.lower() in ("1", "true", "on", "yes"):
+                return True
+            raise ValueError(
+                f"streaming={self.streaming!r}: expected auto/on/off"
+            )
         if self.streaming == "auto":
             # bf16 cannot hold the decode-phase conv caches next to a
             # 10.4 GB resident DiT on a 16 GB chip; int8 can. And on a
@@ -1040,6 +1073,8 @@ class DovePipeline:
                 self._barrier(tiles)  # see encode loop: fence queued temps
                 px[si].append(tiles)
             self._free(cache)
+        z_segs.clear()  # symmetric with lq_segs: drop the latent stream's
+        # device buffers before the assembly/pull phase needs its headroom
 
         i420 = self.output_i420
         out = np.empty(
@@ -1332,19 +1367,7 @@ class DovePipeline:
                         else max(0, round(overlap_t / 4))
                     ),
                 )[:F]
-                if pad_f:
-                    out = out[:-pad_f]
-                if (pad_h or pad_w) and video_io.is_i420(out):
-                    Hp2 = out.shape[1] * 2 // 3
-                    out = tiling.i420_crop(
-                        out, Hp2 - pad_h * upscale,
-                        out.shape[2] - pad_w * upscale,
-                    )
-                else:
-                    if pad_h:
-                        out = out[:, : -pad_h * upscale]
-                    if pad_w:
-                        out = out[:, :, : -pad_w * upscale]
+                out = _trim_output(out, pad_f, pad_h, pad_w, upscale)
                 if not self.output_uint8:
                     return out.astype(np.float32) / 255.0
                 return out
@@ -1357,6 +1380,10 @@ class DovePipeline:
                     "%d-frame passes", F, chunk_len,
                 )
             effective_ot = overlap_t if chunk_len > 0 else 0
+            if chunk_len and chunk_len <= effective_ot:
+                # same bar tiling.temporal_chunks enforces — fail here with
+                # the clear message rather than a ZeroDivisionError below
+                raise ValueError("chunk_len must be greater than overlap_t")
             extra_f = 0
             if chunk_len and F > chunk_len:
                 import math as _math
@@ -1387,19 +1414,7 @@ class DovePipeline:
                 _t_post = time.time()
                 if extra_f:
                     out = out[:-extra_f]
-                if pad_f:
-                    out = out[:-pad_f]
-                if (pad_h or pad_w) and video_io.is_i420(out):
-                    Hp2 = out.shape[1] * 2 // 3
-                    out = tiling.i420_crop(
-                        out, Hp2 - pad_h * upscale,
-                        out.shape[2] - pad_w * upscale,
-                    )
-                else:
-                    if pad_h:
-                        out = out[:, : -pad_h * upscale]
-                    if pad_w:
-                        out = out[:, :, : -pad_w * upscale]
+                out = _trim_output(out, pad_f, pad_h, pad_w, upscale)
                 if _timing:
                     print(f"stage post: {time.time() - _t_post:.2f}s", flush=True)
                 return out
@@ -1443,20 +1458,9 @@ class DovePipeline:
                     covered[vr.dst[0]] = True
                 if not covered.all():
                     raise RuntimeError("temporal chunk coverage gap")
-                trim = pad_f + extra_f
-                if trim:
-                    out_arr = out_arr[:-trim]
-                if pad_h or pad_w:
-                    if i420:
-                        out_arr = tiling.i420_crop(
-                            out_arr, H - pad_h * upscale, W - pad_w * upscale
-                        )
-                    else:
-                        if pad_h:
-                            out_arr = out_arr[:, : -pad_h * upscale]
-                        if pad_w:
-                            out_arr = out_arr[:, :, : -pad_w * upscale]
-                return out_arr
+                return _trim_output(
+                    out_arr, pad_f + extra_f, pad_h, pad_w, upscale
+                )
 
             if n_par > 1 and len(chunks) > 1:
                 # Multi-chip serving of the production path: temporal chunks

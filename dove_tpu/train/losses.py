@@ -45,7 +45,9 @@ def one_step_x0_latent(
     pt = cfg.dit.patch_size_t
     ncopy = 0
     if pt is not None:
-        ncopy = lq_latent.shape[1] % pt
+        # (pt - F % pt) % pt: equal to the reference's F % pt at pt=2
+        # (lora_one_s1_trainer.py:135, asserted pt==2-only), correct for any
+        ncopy = (pt - lq_latent.shape[1] % pt) % pt
         if ncopy:
             first = jnp.repeat(lq_latent[:, :1], ncopy, axis=1)
             lq_latent = jnp.concatenate([first, lq_latent], axis=1)
