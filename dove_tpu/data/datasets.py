@@ -268,6 +268,11 @@ class RealSRDataset:
     def __len__(self) -> int:
         return len(self.videos)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Fold the epoch into per-item RNG streams (PrefetchLoader calls
+        this): each epoch draws fresh degradations, deterministically."""
+        self._epoch = epoch
+
     # -- degradation --------------------------------------------------------
 
     def _degrade(self, frames: np.ndarray, rng: np.random.Generator) -> np.ndarray:
@@ -289,6 +294,17 @@ class RealSRDataset:
             emb = np.asarray(self.encode_text(prompt))
             if self.cache_prompts:
                 _save_safetensor(path, "prompt_embedding", emb)
+        if emb is None and prompt != "":
+            # a REAL prompt with no cache and no encoder: fail here with the
+            # fix, not as np.stack(ndarray, None) in the loader's collate (a
+            # batch can mix cached and uncached prompts). The empty prompt
+            # stays None — the trainer substitutes its own embedding.
+            raise RuntimeError(
+                f"no cached embedding for prompt {prompt[:60]!r} "
+                f"(expected {path}) and no encode_text fn — precompute the "
+                "cache with scripts/encode_prompts.py, or train with "
+                "empty_prompt/empty_ratio=1.0"
+            )
         return prompt, emb
 
     # -- item ----------------------------------------------------------------
@@ -332,7 +348,14 @@ class RealSRDataset:
         )
 
     def __getitem__(self, index: int) -> dict[str, Any]:
-        rng = np.random.default_rng((self._seed, index, np.random.randint(2**31)))
+        # (seed, epoch, index): fresh draws each epoch, yet two runs with
+        # the same seed replay the same data stream (resume-reproducible,
+        # like the trainer's fold_in(step) noise keying) — the previous
+        # np.random.randint mix-in used UNSEEDED global state, which is
+        # also not thread-safe under the prefetch workers
+        rng = np.random.default_rng(
+            (self._seed, getattr(self, "_epoch", 0), index)
+        )
         prompt = self.prompts[index]
         if rng.uniform() < self.empty_ratio:
             prompt = ""
@@ -425,7 +448,10 @@ class RealSRImageVideoDataset(RealSRDataset):
         return len(self.videos)
 
     def __getitem__(self, index: int) -> dict[str, Any]:
-        rng = np.random.default_rng((self._seed, index, np.random.randint(2**31)))
+        # (seed, epoch, index) keying: see RealSRDataset.__getitem__
+        rng = np.random.default_rng(
+            (self._seed, getattr(self, "_epoch", 0), index)
+        )
         prompt = self.prompts[index]
         if rng.uniform() < self.empty_ratio:
             prompt = ""
@@ -495,6 +521,12 @@ class BucketSampler:
                 yield list(b)
 
     def __len__(self) -> int:
+        # count per bucket: items of different shapes never share a batch,
+        # so global //batch_size undercounts (drop_last=False) or
+        # overcounts (drop_last=True) whenever buckets have remainders
+        counts: dict[tuple[int, int, int], int] = {}
+        for s in self.shapes:
+            counts[s] = counts.get(s, 0) + 1
         if self.drop_last:
-            return len(self.shapes) // self.batch_size
-        return math.ceil(len(self.shapes) / self.batch_size)
+            return sum(c // self.batch_size for c in counts.values())
+        return sum(math.ceil(c / self.batch_size) for c in counts.values())

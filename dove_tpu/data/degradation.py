@@ -17,6 +17,7 @@ environmental deviation, same artifact family.
 
 from __future__ import annotations
 
+import logging
 import os
 import tempfile
 from typing import Any, Sequence
@@ -25,6 +26,8 @@ import cv2
 import numpy as np
 
 from dove_tpu.data import blur_kernels as bk
+
+logger = logging.getLogger(__name__)
 
 _RESIZE_MODES = {
     "bilinear": cv2.INTER_LINEAR,
@@ -103,11 +106,22 @@ class RandomResize:
 
     def __init__(self, params: dict[str, Any]):
         self.p = dict(params)
-        self.target_size = self.p.get("target_size")
+        self._cfg_target = self.p.get("target_size")
+        # the per-crop override is THREAD-LOCAL: degradation ops are shared
+        # across PrefetchLoader workers, and set-then-call happens within
+        # one worker's __getitem__ — a plain attribute races between items
+        import threading
+
+        self._tl = threading.local()
+
+    @property
+    def target_size(self) -> tuple[int, int] | None:
+        return getattr(self._tl, "target_size", self._cfg_target)
 
     def set_target_size(self, hw: tuple[int, int]) -> None:
-        """Datasets set the x(1/scale) LQ size dynamically per crop."""
-        self.target_size = hw
+        """Datasets set the x(1/scale) LQ size dynamically per crop
+        (thread-local: only this worker's next call sees it)."""
+        self._tl.target_size = hw
 
     def __call__(self, frames: np.ndarray, rng: np.random.Generator) -> np.ndarray:
         p = self.p
@@ -258,6 +272,14 @@ class RandomVideoCompression:
             for frame in container.decode(video=0):
                 arr = frame.to_ndarray(format="rgb24")
                 out.append(arr[: H, : W].astype(np.float32) / 255.0)
+        if not out:
+            logger.warning(
+                "av %s round-trip decoded 0 frames; passing frames through",
+                codec,
+            )
+            return frames
+        if len(out) < F:  # decoder returned short; repeat last (see cv2 path)
+            out.extend([out[-1]] * (F - len(out)))
         return np.stack(out[:F])
 
     def _cv2_roundtrip(self, frames, bitrate):
@@ -289,6 +311,15 @@ class RandomVideoCompression:
                 rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
                 out.append(rgb[: H, : W].astype(np.float32) / 255.0)
             cap.release()
+        if not out:
+            # VideoWriter can silently write nothing (no mp4v encoder in
+            # this OpenCV build) — degrade to a no-op rather than crash on
+            # out[-1]; the op family stays usable minus this one effect
+            logger.warning(
+                "video-compression round-trip decoded 0 frames (no usable "
+                "codec in this OpenCV build); passing frames through"
+            )
+            return frames
         if len(out) < F:  # codec dropped frames; repeat last
             out.extend([out[-1]] * (F - len(out)))
         return np.stack(out[:F])

@@ -82,6 +82,9 @@ class PrefetchLoader:
         self._epoch = epoch
         if self.sampler is not None and hasattr(self.sampler, "set_epoch"):
             self.sampler.set_epoch(epoch)
+        if hasattr(self.dataset, "set_epoch"):
+            # per-item RNG streams key on (seed, epoch, index)
+            self.dataset.set_epoch(epoch)
 
     def _batches(self) -> list[list[int]]:
         if self.sampler is not None:

@@ -113,12 +113,26 @@ class Trainer:
             model_axis = args.tensor_parallel
         data_axis = args.data_parallel or len(jax.devices()) // model_axis
         if args.batch_size % data_axis:
+            if jax.process_count() > 1:
+                # folding shrinks the mesh to a device PREFIX, which can
+                # exclude every device of a later host and deadlock its
+                # collectives — multi-host runs must pick a valid batch
+                raise ValueError(
+                    f"batch_size {args.batch_size} not divisible by the "
+                    f"data axis ({data_axis}) in a multi-host run — choose "
+                    "batch_size/data_parallel so the global batch shards "
+                    "evenly"
+                )
             # fold the data axis down so the global batch shards evenly
             while data_axis > 1 and args.batch_size % data_axis:
                 data_axis //= 2
+            idle = len(jax.devices()) - data_axis * model_axis
             logger.warning(
-                "batch_size %d not divisible by data axis; using data=%d",
+                "batch_size %d not divisible by data axis; using data=%d"
+                "%s",
                 args.batch_size, data_axis,
+                f" ({idle} of {len(jax.devices())} devices left IDLE — "
+                "pick a divisible batch_size to use them)" if idle > 0 else "",
             )
         self.mesh = mesh_mod.make_mesh(data=data_axis, model=model_axis)
         self._dit_fn = None  # tensor-parallel DiT forward when tp>1
@@ -150,9 +164,13 @@ class Trainer:
                 jax.random.PRNGKey(1), self.config.vae, self.dtype
             )
 
+        from dove_tpu.data.datasets import EMPTY_PROMPT_SHA
+
+        # same cache layout the dataset builds (datasets.py) — one source
+        # of truth for the empty-prompt file location
         emb_path = (
             Path(args.data_root) / "cache" / args.prompt_cache
-            / "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855.safetensors"
+            / f"{EMPTY_PROMPT_SHA}.safetensors"
         )
         if args.empty_prompt and emb_path.exists():
             from dove_tpu.weights import load_prompt_embedding
@@ -653,6 +671,14 @@ class Trainer:
             except Exception as e:  # weights-gated metric unavailable
                 logger.warning("validation metric %s unavailable: %s", name, e)
 
+        # Under tensor parallelism, serve validation over the training mesh
+        # (staged path required): the plain forward on TP-sharded 5B params
+        # would all-gather full weights per device — OOM on exactly the
+        # configs TP exists for. donate_weights=False is REQUIRED: the
+        # pipeline aliases the live training params.
+        # (single-process only: the serving path device_puts host arrays,
+        # which needs every mesh device addressable)
+        tp_mode = self._dit_fn is not None and jax.process_count() == 1
         pipe = DovePipeline(
             config=self.config,
             dit_params=self.effective_dit_params(self.trainable_params()),
@@ -660,8 +686,12 @@ class Trainer:
             prompt_embedding=jnp.asarray(self.empty_prompt, self.dtype),
             dtype=self.dtype,
             donate_input=False,
-            vae_tiling=self.args.enable_tiling,  # --is_vae_st-style validation
+            donate_weights=False,
+            # --is_vae_st-style validation (forced under TP: the mesh
+            # serving path is staged-only)
+            vae_tiling=self.args.enable_tiling or tp_mode,
         )
+        serve_mesh = self.mesh if tp_mode else None
         out_dir = Path(args.output_dir) / "validation_res" / f"Step-{step}"
         out_dir.mkdir(parents=True, exist_ok=True)
 
@@ -679,7 +709,7 @@ class Trainer:
 
         for clip in clips:
             frames = video_io.load_sequence(clip)
-            sr = pipe.process_frames(frames)
+            sr = pipe.process_frames(frames, mesh=serve_mesh)
             video_io.save_video(sr, out_dir / f"{clip.stem}.mp4", fps=args.gen_fps)
             ref = None
             if ref_dir is not None and (ref_dir / clip.name).exists():
@@ -697,9 +727,12 @@ class Trainer:
                 results[name].append(float(val))
         # Multi-host: every process computed a different clip shard — combine
         # (sum, count) across hosts so the logged numbers cover the full set.
-        # Fixed-shape collective over ALL metric names on every host (a
-        # per-key gather could deadlock when shards have uneven coverage).
-        names = sorted(metric_fns)
+        # Fixed-shape collective over every REQUESTED metric name (not just
+        # the ones that built here: a metric whose weights exist on only
+        # some hosts must not change the collective's shape — it rides along
+        # with zero count).
+        names = sorted(metric_names)
+        results = {n: results.get(n, []) for n in names}
         sums = np.asarray(
             [float(np.sum(results[n])) if results[n] else 0.0 for n in names]
         )
@@ -764,10 +797,16 @@ class DOVES2Trainer(Trainer):
     def load_components(self) -> None:
         super().load_components()
         a = self.args
-        if a.use_perceptual_loss or any(
+        weights_on = any(
             w > 0 for w in (a.dists_weight, a.ea_dists_weight,
                             a.lpips_weight, a.ea_lpips_weight)
-        ):
+        )
+        if a.use_perceptual_loss and not weights_on:
+            logger.warning(
+                "use_perceptual_loss=True but every perceptual weight is 0 "
+                "— the term contributes nothing (set e.g. --dists_weight)"
+            )
+        if a.use_perceptual_loss or weights_on:
             import os
 
             if a.ea_dists_weight > 0 or a.dists_weight > 0:
@@ -831,8 +870,14 @@ class DOVES2Trainer(Trainer):
             "prompt_embeds": batch["prompt_embeds"],
         }
         a = self.args
-        perceptual_weight = (
-            a.dists_weight + a.ea_dists_weight + a.lpips_weight + a.ea_lpips_weight
+        # the reference activates exactly ONE perceptual term by elif
+        # precedence (lora_one_s2_trainer.py:245-277: ea_dists > dists >
+        # ea_lpips > lpips) — summing all four weights would silently scale
+        # the single built metric by the weights of metrics never computed
+        perceptual_weight = next(
+            (w for w in (a.ea_dists_weight, a.dists_weight,
+                         a.ea_lpips_weight, a.lpips_weight) if w > 0),
+            0.0,
         )
         return losses.stage2_loss(
             self.config, self.schedule, dit, frozen["vae"], loss_batch, fwd_rng,

