@@ -120,10 +120,6 @@ def qconv(
     return y.astype(x.dtype)
 
 
-def is_quantized(p: Params) -> bool:
-    return isinstance(p, dict) and "kernel_q" in p
-
-
 def _quantize_leaf_dict(p: Params, donate: bool = True) -> Params:
     """{"kernel": w, "bias"?} -> {"kernel_q", "kernel_scale", "bias"?}."""
     fn = _quantize_weight_donated if donate else _quantize_weight_jit
@@ -149,16 +145,20 @@ def quantize_dit(params: Params, donate: bool = True) -> Params:
         return out
 
     blocks = params["blocks"]
+    # spread-then-override so any key OUTSIDE the quantized set (future
+    # block additions, variant-specific leaves) passes through unchanged
+    # instead of being silently dropped from the int8 tree
     new_blocks = {
-        "norm1": blocks["norm1"],
-        "norm2": blocks["norm2"],
+        **blocks,
         "attn1": {
+            **blocks["attn1"],
             **{k: q_stacked(blocks["attn1"][k])
                for k in ("to_q", "to_k", "to_v", "to_out")},
-            "norm_q": blocks["attn1"]["norm_q"],
-            "norm_k": blocks["attn1"]["norm_k"],
         },
-        "ff": {k: q_stacked(blocks["ff"][k]) for k in ("net_0_proj", "net_2")},
+        "ff": {
+            **blocks["ff"],
+            **{k: q_stacked(blocks["ff"][k]) for k in ("net_0_proj", "net_2")},
+        },
     }
     return {**params, "blocks": new_blocks}
 

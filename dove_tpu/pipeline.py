@@ -196,6 +196,14 @@ class DovePipeline:
                 "dec_window_cap must exceed the 2-latent feather band "
                 f"(each side >= 3); got {self.dec_window_cap}"
             )
+        T = self.config.scheduler.num_train_timesteps
+        for name in ("sr_noise_step", "noise_step"):
+            t = getattr(self.config, name)
+            if not 0 <= t < T:
+                # the traced alphas_cumprod[t] gather CLAMPS out-of-range
+                # indices (t=999's zero-terminal-SNR entry is exactly 0) —
+                # garbage output with no error unless caught here
+                raise ValueError(f"{name}={t} outside [0, {T})")
         self.schedule = Schedule.create(self.config.scheduler)
         self._compiled: dict[tuple, Callable] = {}
         self._staged: dict[str, Callable] = {}

@@ -156,6 +156,13 @@ class Args(BaseModel):
             raise ValueError("do_validation requires validation_dir")
         if self.model_type == "real-sr-image-video" and self.image_column is None:
             raise ValueError("real-sr-image-video needs image_column")
+        for name in ("sr_noise_step", "noise_step"):
+            t = getattr(self, name)
+            if not 0 <= t < 1000:  # CogVideoX scheduler table length
+                raise ValueError(
+                    f"{name}={t} outside [0, 1000) — the traced scheduler "
+                    "gather would silently clamp it"
+                )
         if self.tensor_parallel > 1 and self.fsdp > 1:
             raise ValueError(
                 "tensor_parallel and fsdp both shard over the 'model' mesh "

@@ -41,7 +41,16 @@ def load_safetensors_dir(subdir: str | Path) -> dict[str, np.ndarray]:
     from safetensors import safe_open
 
     subdir = Path(subdir)
-    index_files = list(subdir.glob("*.safetensors.index.json"))
+    index_files = sorted(subdir.glob("*.safetensors.index.json"))
+    if len(index_files) > 1:
+        # fp32 + fp16 variant checkpoints each ship their own index; which
+        # one a bare glob picks is filesystem-order dependent — make the
+        # caller choose
+        raise ValueError(
+            f"{subdir} has {len(index_files)} shard indexes "
+            f"({[f.name for f in index_files]}) — keep one variant or load "
+            "its shards explicitly"
+        )
     if index_files:
         index = json.loads(index_files[0].read_text())
         shard_names = sorted(set(index["weight_map"].values()))
@@ -55,6 +64,11 @@ def load_safetensors_dir(subdir: str | Path) -> dict[str, np.ndarray]:
     for f in files:
         with safe_open(str(f), framework="np") as fp:
             for k in fp.keys():
+                if k in tensors:  # un-indexed variant files overlap keys
+                    raise ValueError(
+                        f"duplicate tensor {k!r} across files in {subdir} "
+                        "(multiple precision variants?) — keep one variant"
+                    )
                 tensors[k] = fp.get_tensor(k)
     return tensors
 
@@ -98,35 +112,52 @@ def convert_dit(
 ) -> Params:
     """diffusers CogVideoXTransformer3DModel state dict -> dove_tpu DiT tree."""
 
+    # Blocks assemble HOST-SIDE (numpy views) and transfer once per stacked
+    # leaf: materializing per-layer device arrays and a device-side stack
+    # simultaneously would hold ~2x the block weights in HBM (~20 GB at 5B
+    # bf16 — more than a v5e chip) before anything runs.
+    def np_leaf(prefix: str, kind: str) -> Params:
+        if kind == "linear":
+            p = {"kernel": tensors[f"{prefix}.weight"].T}
+            if f"{prefix}.bias" in tensors:
+                p["bias"] = tensors[f"{prefix}.bias"]
+            return p
+        return {
+            "scale": tensors[f"{prefix}.weight"],
+            "bias": tensors[f"{prefix}.bias"],
+        }
+
     def block(i: int) -> Params:
         b = f"transformer_blocks.{i}"
         return {
             "norm1": {
-                "linear": _linear(tensors, f"{b}.norm1.linear", dtype),
-                "norm": _ln(tensors, f"{b}.norm1.norm", dtype),
+                "linear": np_leaf(f"{b}.norm1.linear", "linear"),
+                "norm": np_leaf(f"{b}.norm1.norm", "ln"),
             },
             "attn1": {
-                "to_q": _linear(tensors, f"{b}.attn1.to_q", dtype),
-                "to_k": _linear(tensors, f"{b}.attn1.to_k", dtype),
-                "to_v": _linear(tensors, f"{b}.attn1.to_v", dtype),
-                "to_out": _linear(tensors, f"{b}.attn1.to_out.0", dtype),
-                "norm_q": _ln(tensors, f"{b}.attn1.norm_q", dtype),
-                "norm_k": _ln(tensors, f"{b}.attn1.norm_k", dtype),
+                "to_q": np_leaf(f"{b}.attn1.to_q", "linear"),
+                "to_k": np_leaf(f"{b}.attn1.to_k", "linear"),
+                "to_v": np_leaf(f"{b}.attn1.to_v", "linear"),
+                "to_out": np_leaf(f"{b}.attn1.to_out.0", "linear"),
+                "norm_q": np_leaf(f"{b}.attn1.norm_q", "ln"),
+                "norm_k": np_leaf(f"{b}.attn1.norm_k", "ln"),
             },
             "norm2": {
-                "linear": _linear(tensors, f"{b}.norm2.linear", dtype),
-                "norm": _ln(tensors, f"{b}.norm2.norm", dtype),
+                "linear": np_leaf(f"{b}.norm2.linear", "linear"),
+                "norm": np_leaf(f"{b}.norm2.norm", "ln"),
             },
             "ff": {
-                "net_0_proj": _linear(tensors, f"{b}.ff.net.0.proj", dtype),
-                "net_2": _linear(tensors, f"{b}.ff.net.2", dtype),
+                "net_0_proj": np_leaf(f"{b}.ff.net.0.proj", "linear"),
+                "net_2": np_leaf(f"{b}.ff.net.2", "linear"),
             },
         }
 
     blocks = [block(i) for i in range(cfg.num_layers)]
     import jax
 
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    stacked = jax.tree.map(
+        lambda *xs: jnp.asarray(np.stack(xs), dtype), *blocks
+    )
 
     if cfg.patch_size_t is None:
         proj = _conv2d(tensors, "patch_embed.proj", dtype)
@@ -295,12 +326,35 @@ def fuse_lora_into_dit(
     name_map = {"to_q": "to_q", "to_k": "to_k", "to_v": "to_v", "to_out.0": "to_out"}
     blocks = params["blocks"]
     new_attn = dict(blocks["attn1"])
+    n_layers = int(new_attn["to_q"]["kernel"].shape[0])
+
+    # Assemble all layer deltas per target into ONE host array and add once:
+    # per-layer .at[i].add dispatches each rewrite the whole stacked [L, in,
+    # out] kernel (~170 copies of GB-scale buffers for a 42-layer adapter).
+    per_target: dict[str, np.ndarray] = {}
     for (layer, target), ab in sorted(deltas.items()):
+        if "A" not in ab or "B" not in ab:
+            raise ValueError(
+                f"incomplete LoRA pair for layer {layer} {target}: found "
+                f"only lora_{'A' if 'A' in ab else 'B'}"
+            )
+        if layer >= n_layers:
+            # JAX scatter would DROP the out-of-bounds update silently
+            raise ValueError(
+                f"LoRA adapter targets transformer_blocks.{layer} but the "
+                f"model has {n_layers} layers — adapter/model mismatch"
+            )
         A, B = ab["A"], ab["B"]  # A: [r, in], B: [out, r] (torch layout)
         delta = (B @ A).T * scale  # -> [in, out] JAX layout
         ours = name_map[target]
+        if ours not in per_target:
+            kern = new_attn[ours]["kernel"]
+            per_target[ours] = np.zeros(kern.shape, np.float32)
+        per_target[ours][layer] += delta
+
+    for ours, delta_stack in per_target.items():
         kern = new_attn[ours]["kernel"]
-        upd = kern.at[layer].add(jnp.asarray(delta, kern.dtype))
+        upd = kern + jnp.asarray(delta_stack, kern.dtype)
         new_attn[ours] = {**new_attn[ours], "kernel": upd}
 
     new_blocks = {**blocks, "attn1": new_attn}
