@@ -160,8 +160,10 @@ class MetricAccumulator:
         self.sample_names: list[str] = []
 
     def add(self, name: str, pred: np.ndarray, gt: np.ndarray | None) -> dict:
+        # compute EVERY metric before recording anything: a mid-loop
+        # exception (e.g. gt=None for one sample, caught by the caller to
+        # skip it) must not leave per_sample lists ragged vs count
         out = {}
-        self.sample_names.append(name)
         for metric in self.names:
             if metric in FULL_REFERENCE:
                 if gt is None:
@@ -170,8 +172,10 @@ class MetricAccumulator:
                 val = self._fns[metric](p, g)
             else:
                 val = self._fns[metric](pred)
-            self.per_sample[metric].append(float(val))
             out[metric] = float(val)
+        self.sample_names.append(name)
+        for metric, val in out.items():
+            self.per_sample[metric].append(val)
         return out
 
     def summary(self) -> dict:

@@ -42,7 +42,14 @@ def _conv(p: Params, x: jnp.ndarray, stride: int = 1, padding="SAME") -> jnp.nda
 
 
 def _instance_norm(p: Params | None, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Instance norm — or frozen (eval-mode) batch norm when the param dict
+    carries running stats. raft-things uses norm_fn='instance' for fnet but
+    BatchNorm2d for cnet; normalizing cnet with per-sample spatial stats
+    instead of the frozen running stats diverges from the checkpoint."""
     xf = x.astype(jnp.float32)
+    if p is not None and "mean" in p:
+        y = (xf - p["mean"]) * jax.lax.rsqrt(p["var"] + eps)
+        return (y * p["scale"] + p["bias"]).astype(x.dtype)
     mean = xf.mean(axis=(1, 2), keepdims=True)
     var = xf.var(axis=(1, 2), keepdims=True)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
@@ -128,13 +135,18 @@ def corr_pyramid(f1: jnp.ndarray, f2: jnp.ndarray) -> list[jnp.ndarray]:
         "bxyd,buvd->bxyuv", f1.astype(jnp.float32), f2.astype(jnp.float32)
     ) / jnp.sqrt(jnp.asarray(D, jnp.float32))
     corr = corr.reshape(B * h * w, h, w, 1)
-    pyramid = [corr]
+    # (corr, scale) pairs: scale only advances when the level actually
+    # pooled — a too-small level re-appends unshrunk, and sampling it at
+    # coords/2^lvl would read the wrong centers
+    pyramid = [(corr, 1.0)]
+    scale = 1.0
     for _ in range(CORR_LEVELS - 1):
         if corr.shape[1] >= 2 and corr.shape[2] >= 2:
             corr = jax.lax.reduce_window(
                 corr, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
             ) / 4.0
-        pyramid.append(corr)
+            scale *= 2.0
+        pyramid.append((corr, scale))
     return pyramid
 
 
@@ -143,6 +155,12 @@ def corr_lookup(pyramid: list[jnp.ndarray], coords: jnp.ndarray) -> jnp.ndarray:
     coords: [B, h, w, 2] -> [B, h, w, levels*(2r+1)^2]."""
     B, h, w, _ = coords.shape
     r = CORR_RADIUS
+    # Window channel order matches princeton-vl's quirk exactly: their
+    # delta = stack(meshgrid(dy, dx)) feeds a sampler that reads [..., 0]
+    # as x, so channel (i, j) samples (x + d_i, y + d_j) — the FIRST window
+    # axis offsets x. Converted convc1 weights consume this channel order;
+    # reversing to "natural" (x, y) would transpose the 9x9 window per
+    # level and permute the 81 channels under pretrained weights.
     deltas = jnp.stack(
         jnp.meshgrid(
             jnp.arange(-r, r + 1, dtype=jnp.float32),
@@ -150,11 +168,11 @@ def corr_lookup(pyramid: list[jnp.ndarray], coords: jnp.ndarray) -> jnp.ndarray:
             indexing="ij",
         ),
         axis=-1,
-    )[..., ::-1]  # [(2r+1), (2r+1), 2] as (x, y)
+    )  # [(2r+1), (2r+1), 2]: deltas[i, j] = (d_i, d_j) -> (x, y) offsets
     out = []
     flat_coords = coords.reshape(B * h * w, 1, 1, 2)
-    for lvl, corr in enumerate(pyramid):
-        centr = flat_coords / (2.0**lvl)
+    for corr, scale in pyramid:
+        centr = flat_coords / scale
         sample_pts = centr + deltas[None]  # [Bhw, 2r+1, 2r+1, 2]
         vals = bilinear_sample(corr, sample_pts)  # [Bhw, 2r+1, 2r+1, 1]
         out.append(vals.reshape(B, h, w, (2 * r + 1) ** 2))
@@ -236,7 +254,7 @@ def raft_flow(
     )
 
     def body(carry, _):
-        net, coords1 = carry
+        net, coords1, _mask = carry
         corr = corr_lookup(pyramid, coords1)
         flow = coords1 - coords0
         motion = _motion_encoder(params["update"]["encoder"], flow, corr)
@@ -252,22 +270,38 @@ def raft_flow(
             params["update"]["mask"]["conv2"],
             jax.nn.relu(_conv(params["update"]["mask"]["conv1"], net2)),
         ) * 0.25
-        return (net2, coords1), mask
+        # mask rides the carry: only the FINAL iteration's mask is used, and
+        # stacking all iters' [B, h, w, 576] masks would materialize
+        # iters x that (GBs at 720p batches) just to slice one
+        return (net2, coords1, mask), None
 
-    (net, coords1), masks = jax.lax.scan(
-        body, (net, coords0), None, length=iters
+    mask0 = jnp.zeros(
+        (B, h, w, 9 * 64), f1.dtype
     )
-    return _upsample_flow(coords1 - coords0, masks[-1])
+    (net, coords1, mask), _ = jax.lax.scan(
+        body, (net, coords0, mask0), None, length=iters
+    )
+    return _upsample_flow(coords1 - coords0, mask)
 
 
-def raft_bi(params: Params, frames: jnp.ndarray, iters: int = 12):
+def raft_bi(
+    params: Params, frames: jnp.ndarray, iters: int = 12, pair_chunk: int = 4
+):
     """Bidirectional flow over a clip (reference RAFT_bi, raft_bi.py:19-92):
-    frames [F, H, W, 3] in [0,1] -> (flow_fwd [F-1,...], flow_bwd [F-1,...])."""
+    frames [F, H, W, 3] in [0,1] -> (flow_fwd [F-1,...], flow_bwd [F-1,...]).
+
+    pair_chunk bounds the all-pairs correlation memory: one 720p pair's
+    level-0 corr alone is ~0.8 GB fp32, so batching all F-1 pairs at once
+    OOMs on long clips; pairs are independent, chunking is exact."""
     f1 = frames[:-1]
     f2 = frames[1:]
-    flow_fwd = raft_flow(params, f1, f2, iters)
-    flow_bwd = raft_flow(params, f2, f1, iters)
-    return flow_fwd, flow_bwd
+    n = f1.shape[0]
+    fwd, bwd = [], []
+    for s in range(0, n, max(pair_chunk, 1)):
+        e = min(s + max(pair_chunk, 1), n)
+        fwd.append(raft_flow(params, f1[s:e], f2[s:e], iters))
+        bwd.append(raft_flow(params, f2[s:e], f1[s:e], iters))
+    return jnp.concatenate(fwd), jnp.concatenate(bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -369,8 +403,14 @@ def convert_raft(sd: dict[str, np.ndarray]) -> Params:
     def inorm(prefix):
         if f"{prefix}.weight" not in sd:
             return None
-        return {"scale": jnp.asarray(sd[f"{prefix}.weight"], jnp.float32),
-                "bias": jnp.asarray(sd[f"{prefix}.bias"], jnp.float32)}
+        p = {"scale": jnp.asarray(sd[f"{prefix}.weight"], jnp.float32),
+             "bias": jnp.asarray(sd[f"{prefix}.bias"], jnp.float32)}
+        if f"{prefix}.running_mean" in sd:
+            # cnet is BatchNorm2d in raft-things: keep the frozen running
+            # stats (eval-mode affine), don't re-derive per-sample stats
+            p["mean"] = jnp.asarray(sd[f"{prefix}.running_mean"], jnp.float32)
+            p["var"] = jnp.asarray(sd[f"{prefix}.running_var"], jnp.float32)
+        return p
 
     def encoder(name):
         def block(prefix):

@@ -163,14 +163,18 @@ def convert_t5(tensors: dict[str, np.ndarray], cfg: T5Config, dtype=jnp.bfloat16
     for i in range(cfg.num_layers):
         b = f"encoder.block.{i}" if f"encoder.block.{i}.layer.0.SelfAttention.q.weight" in tensors else f"block.{i}"
         blocks.append({
-            "ln0": {"weight": jnp.asarray(get(f"{b}.layer.0.layer_norm.weight".removeprefix("encoder.")), jnp.float32)},
+            "ln0": {"weight": jnp.asarray(
+                tensors[f"{b}.layer.0.layer_norm.weight"], jnp.float32
+            )},
             "attn": {
                 "q": lin(f"{b}.layer.0.SelfAttention.q"),
                 "k": lin(f"{b}.layer.0.SelfAttention.k"),
                 "v": lin(f"{b}.layer.0.SelfAttention.v"),
                 "o": lin(f"{b}.layer.0.SelfAttention.o"),
             },
-            "ln1": {"weight": jnp.asarray(get(f"{b}.layer.1.layer_norm.weight".removeprefix("encoder.")), jnp.float32)},
+            "ln1": {"weight": jnp.asarray(
+                tensors[f"{b}.layer.1.layer_norm.weight"], jnp.float32
+            )},
             "ffn": {
                 "wi_0": lin(f"{b}.layer.1.DenseReluDense.wi_0"),
                 "wi_1": lin(f"{b}.layer.1.DenseReluDense.wi_1"),
@@ -206,6 +210,13 @@ def load_t5(model_dir: str | Path, cfg: T5Config | None = None, dtype=jnp.bfloat
             d_ff=raw.get("d_ff", 10240),
             num_layers=raw.get("num_layers", 24),
             num_heads=raw.get("num_heads", 64),
+            relative_attention_num_buckets=raw.get(
+                "relative_attention_num_buckets", 32
+            ),
+            relative_attention_max_distance=raw.get(
+                "relative_attention_max_distance", 128
+            ),
+            layer_norm_epsilon=raw.get("layer_norm_epsilon", 1e-6),
         )
     cfg = cfg or t5_xxl()
     return convert_t5(load_safetensors_dir(sub), cfg, dtype), cfg

@@ -668,8 +668,10 @@ class Trainer:
         for name in metric_names:
             try:
                 metric_fns[name] = get_metric(name)
-            except Exception as e:  # weights-gated metric unavailable
+            except NotImplementedError as e:  # weights-gated, keep training
                 logger.warning("validation metric %s unavailable: %s", name, e)
+            # an UNKNOWN metric name (ValueError with the available list)
+            # propagates — a typo must not soft-fail into missing numbers
 
         # Under tensor parallelism, serve validation over the training mesh
         # (staged path required): the plain forward on TP-sharded 5B params

@@ -42,12 +42,16 @@ def test_corr_pyramid_matches_einsum():
     rng = jax.random.PRNGKey(0)
     f1 = jax.random.normal(rng, (1, 4, 6, 8))
     f2 = jax.random.normal(jax.random.fold_in(rng, 1), (1, 4, 6, 8))
-    pyr = corr_pyramid(f1, f2)
+    pyr = corr_pyramid(f1, f2)  # [(corr, scale), ...]
     naive = np.einsum("bxyd,buvd->bxyuv", np.asarray(f1), np.asarray(f2)) / np.sqrt(8)
     np.testing.assert_allclose(
-        np.asarray(pyr[0]).reshape(1, 4, 6, 4, 6), naive, atol=1e-5
+        np.asarray(pyr[0][0]).reshape(1, 4, 6, 4, 6), naive, atol=1e-5
     )
-    assert pyr[1].shape == (24, 2, 3, 1)
+    assert pyr[0][1] == 1.0
+    assert pyr[1][0].shape == (24, 2, 3, 1) and pyr[1][1] == 2.0
+    # a level too small to pool keeps the PREVIOUS scale (sampled at the
+    # unshrunk grid's true centers)
+    assert pyr[-1][1] == pyr[-2][1] or pyr[-1][0].shape != pyr[-2][0].shape
     # lookup at the identity coordinates returns finite neighborhoods
     ys, xs = np.meshgrid(np.arange(4), np.arange(6), indexing="ij")
     coords = jnp.asarray(np.stack([xs, ys], -1)[None], jnp.float32)
