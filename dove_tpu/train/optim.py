@@ -5,10 +5,12 @@ adamw / prodigy / came, `use_8bit`; WarmupLR / WarmupDecayLR schedules from
 the DeepSpeed config rewrite at trainer.py:125-169) on optax. CAME is
 implemented natively below (the reference imports came_pytorch), as is the
 8-bit analog: ``adamw-8bit`` keeps int8 blockwise-quantized moments
-(:func:`adamw_8bit`), composing with mesh sharding for the full
-ZeRO+quantized-state memory stack. torchao 4-bit and CPU-offload variants
-remain GPU-ecosystem features; their memory role is covered by the sharded
-8-bit path.
+(:func:`adamw_8bit`), and the torchao ``Adam4bit/AdamW4bit`` analog is
+``adamw-4bit`` (:func:`adamw_4bit`: packed-nibble moments with non-linear
+codebooks, ~0.55 B/param resident). Both compose with mesh sharding for the
+full ZeRO+quantized-state memory stack. The CPU-offload variant remains a
+GPU-ecosystem feature; its memory role is covered by the sharded low-bit
+paths.
 """
 
 from __future__ import annotations
@@ -330,6 +332,174 @@ def adamw_8bit(
     return optax.GradientTransformation(init, update)
 
 
+class Adam4bitState(NamedTuple):
+    count: jnp.ndarray
+    m_q: optax.Updates       # uint8 PACKED nibbles: signed-code first moment
+    m_scale: optax.Updates   # f32 per-block absmax scales
+    v_q: optax.Updates       # uint8 PACKED nibbles: unsigned-code sqrt(v)
+    v_scale: optax.Updates
+
+
+# 4-bit codebooks (Li et al. 2023, "Memory Efficient Optimizers with 4-bit
+# States", the paper behind torchao's Adam4bit): linear 4-bit codes are too
+# coarse for moment EMAs, so both streams use NON-LINEAR maps over the
+# block-normalized value in [-1, 1] / [0, 1].
+#   signed (first moment): dynamic-exponent map — 0 and +-2^-k octaves
+#     (7 negative, zero, 8 positive levels); momentum spans magnitudes, so
+#     log spacing bounds the RELATIVE error per level.
+#   unsigned (sqrt of second moment): sqrt(2)-spaced geometric levels —
+#     the step size is m * rsqrt(v), so bounding sqrt(v)'s relative error
+#     (~+-17% per level) bounds the step's. Storing sqrt(v) (like the 8-bit
+#     variant) spends the code's range where rsqrt is sensitive.
+_CB4_SIGNED = np.array(
+    [-(2.0 ** -k) for k in range(7)]            # -1 .. -1/64
+    + [0.0]
+    + [2.0 ** -(7 - k) for k in range(8)],      # 1/128 .. 1
+    np.float32,
+)
+_CB4_UNSIGNED = np.array(
+    [0.0] + [2.0 ** (-(14 - k) / 2.0) for k in range(15)],  # 2^-7 .. 1
+    np.float32,
+)
+
+
+def adamw_4bit(
+    learning_rate: optax.ScalarOrSchedule,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    block_size: int = 128,
+) -> optax.GradientTransformation:
+    """AdamW with 4-bit quantized moment states (torchao Adam4bit analog).
+
+    The TPU-native analog of the reference factory's torchao 4-bit branch
+    (finetune/utils/optimizer_utils.py:84-105 `use_4bit`): optimizer memory
+    drops to ~0.55 bytes/param — two packed-nibble streams (two codes per
+    uint8) plus one f32 scale per 128-element block per stream. The small
+    block size follows the 4-bit-optimizer paper: with only 15-16 levels,
+    per-block absmax normalization must be tight or large outliers crush
+    the rest of the block to zero codes.
+
+    De/requantization happens inside the jitted update (codebook gather +
+    nearest-code argmin); transient fp32 exists only per step, so the
+    RESIDENT state is what shards over the mesh (ZeRO analog), exactly
+    like :func:`adamw_8bit`.
+    """
+    if block_size % 2:
+        raise ValueError("block_size must be even (two codes pack per byte)")
+    cb_s = jnp.asarray(_CB4_SIGNED)
+    cb_u = jnp.asarray(_CB4_UNSIGNED)
+
+    def _blocks(x):
+        flat = x.reshape(-1)
+        pad = (-flat.shape[0]) % block_size
+        return jnp.pad(flat, (0, pad)).reshape(-1, block_size)
+
+    def _pack(codes):  # [nb, block] uint8 in 0..15 -> [nb, block//2]
+        lo, hi = codes[:, 0::2], codes[:, 1::2]
+        return (lo | (hi << 4)).astype(jnp.uint8)
+
+    def _unpack(packed):  # [nb, block//2] -> [nb, block] codes
+        lo = packed & 0xF
+        hi = packed >> 4
+        return jnp.stack([lo, hi], axis=-1).reshape(packed.shape[0], -1)
+
+    def q_signed(x):
+        blocks = _blocks(x)
+        scale = jnp.max(jnp.abs(blocks), axis=1, keepdims=True)
+        safe = jnp.maximum(scale, 1e-38)
+        norm = blocks / safe
+        codes = jnp.argmin(
+            jnp.abs(norm[..., None] - cb_s), axis=-1
+        ).astype(jnp.uint8)
+        return _pack(codes), scale[:, 0]
+
+    def q_unsigned(x):  # x >= 0
+        blocks = _blocks(x)
+        scale = jnp.max(blocks, axis=1, keepdims=True)
+        safe = jnp.maximum(scale, 1e-38)
+        norm = blocks / safe
+        codes = jnp.argmin(
+            jnp.abs(norm[..., None] - cb_u), axis=-1
+        ).astype(jnp.uint8)
+        return _pack(codes), scale[:, 0]
+
+    def dq(packed, scale, shape, cb):
+        vals = jnp.take(cb, _unpack(packed).astype(jnp.int32))
+        flat = (vals * scale[:, None]).reshape(-1)
+        return flat[: int(np.prod(shape))].reshape(shape)
+
+    def init(params):
+        def zq(p):
+            n = int(np.prod(p.shape)) if p.shape else 1
+            nb = -(-n // block_size)
+            return (
+                jnp.zeros((nb, block_size // 2), jnp.uint8),
+                jnp.zeros((nb,), jnp.float32),
+            )
+
+        pick = lambda t, i: jax.tree.map(
+            lambda pair: pair[i], t, is_leaf=lambda x: isinstance(x, tuple)
+        )
+        mz = jax.tree.map(zq, params)
+        vz = jax.tree.map(zq, params)
+        return Adam4bitState(
+            count=jnp.zeros((), jnp.int32),
+            m_q=pick(mz, 0), m_scale=pick(mz, 1),
+            v_q=pick(vz, 0), v_scale=pick(vz, 1),
+        )
+
+    def update(grads, state, params=None):
+        if weight_decay and params is None:
+            raise ValueError("adamw_4bit with weight_decay needs params")
+        count = state.count + 1
+        c1 = 1.0 - b1 ** count.astype(jnp.float32)
+        c2 = 1.0 - b2 ** count.astype(jnp.float32)
+        lr = (
+            learning_rate(state.count)
+            if callable(learning_rate) else learning_rate
+        )
+
+        flat_g, treedef = jax.tree.flatten(grads)
+        out = []
+        for g, mq, ms, vq, vs in zip(
+            flat_g,
+            treedef.flatten_up_to(state.m_q),
+            treedef.flatten_up_to(state.m_scale),
+            treedef.flatten_up_to(state.v_q),
+            treedef.flatten_up_to(state.v_scale),
+        ):
+            gf = g.astype(jnp.float32)
+            m = dq(mq, ms, g.shape, cb_s)
+            v_sqrt = dq(vq, vs, g.shape, cb_u)
+            v = v_sqrt * v_sqrt
+            m = b1 * m + (1 - b1) * gf
+            v = b2 * v + (1 - b2) * gf * gf
+            step = (m / c1) / (jnp.sqrt(v / c2) + eps)
+            out.append((step, q_signed(m), q_unsigned(jnp.sqrt(v))))
+
+        steps = jax.tree.unflatten(treedef, [o[0] for o in out])
+        if weight_decay:
+            steps = jax.tree.map(
+                lambda s, p: s + weight_decay * p.astype(jnp.float32),
+                steps, params,
+            )
+        updates = jax.tree.map(
+            lambda s, g: (-lr * s).astype(g.dtype), steps, grads
+        )
+        new_state = Adam4bitState(
+            count=count,
+            m_q=jax.tree.unflatten(treedef, [o[1][0] for o in out]),
+            m_scale=jax.tree.unflatten(treedef, [o[1][1] for o in out]),
+            v_q=jax.tree.unflatten(treedef, [o[2][0] for o in out]),
+            v_scale=jax.tree.unflatten(treedef, [o[2][1] for o in out]),
+        )
+        return updates, new_state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     name: str,
     lr_schedule: optax.Schedule,
@@ -349,6 +519,12 @@ def make_optimizer(
         opt = adamw_8bit(
             lr_schedule, b1=betas[0], b2=betas[1], eps=eps,
             weight_decay=weight_decay if name == "adamw-8bit" else 0.0,
+        )
+    elif name in ("adamw-4bit", "adam-4bit"):
+        # the reference's torchao `use_4bit` analog: packed-nibble moments
+        opt = adamw_4bit(
+            lr_schedule, b1=betas[0], b2=betas[1], eps=eps,
+            weight_decay=weight_decay if name == "adamw-4bit" else 0.0,
         )
     elif name == "adam":
         opt = optax.adam(lr_schedule, b1=betas[0], b2=betas[1], eps=eps)

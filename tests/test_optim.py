@@ -151,3 +151,98 @@ def test_make_optimizer_adamw_8bit_name():
     assert opt is not None
     opt = make_optimizer("adamw_8bit", make_lr_schedule(1e-4))
     assert opt is not None
+
+
+def test_adamw_4bit_tracks_adamw():
+    """4-bit packed-nibble moments must (a) carry ~0.55 bytes/param of
+    resident state, (b) converge on a quadratic near where fp32 Adam does
+    (looser than 8-bit: 15-16 levels/block), (c) jit cleanly."""
+    from dove_tpu.train.optim import adamw_4bit
+
+    def loss(p):
+        return jnp.sum((p["w"] - 3.0) ** 2) + jnp.sum((p["b"] + 1.0) ** 2)
+
+    params4 = {"w": jnp.zeros((64, 33)), "b": jnp.zeros((7,))}
+    opt4 = adamw_4bit(1e-1, weight_decay=0.0)
+    s4 = opt4.init(params4)
+
+    @jax.jit
+    def step4(p, s):
+        g = jax.grad(loss)(p)
+        u, s = opt4.update(g, s, p)
+        return optax.apply_updates(p, u), s
+
+    for _ in range(150):
+        params4, s4 = step4(params4, s4)
+    np.testing.assert_allclose(np.asarray(params4["w"]), 3.0, atol=0.5)
+    np.testing.assert_allclose(np.asarray(params4["b"]), -1.0, atol=0.5)
+
+    # resident bytes: two packed-nibble streams (0.5 B/param each over the
+    # block-padded size) + one f32 scale per 128-block per stream
+    padded = 2176 + 128  # w pads 2112 -> 2176 (17 blocks); b pads 7 -> 128
+    state_bytes = sum(
+        leaf.size * leaf.dtype.itemsize
+        for leaf in jax.tree_util.tree_leaves(s4)
+    )
+    # 2 * (0.5 B + 4/128 B) per padded param, + the count scalar
+    assert state_bytes <= 2 * (0.5 + 4 / 128) * padded + 8, state_bytes
+
+
+def test_adamw_4bit_codebook_roundtrip():
+    """Values that ARE codebook entries survive quantize->pack->unpack->
+    dequantize exactly (per block-absmax scale): the packing and the
+    nearest-code argmin are the fragile parts."""
+    from dove_tpu.train.optim import _CB4_SIGNED, adamw_4bit
+
+    opt = adamw_4bit(1e-2)
+    # one 128-block whose entries are scaled codebook values
+    base = np.zeros(128, np.float32)
+    base[: len(_CB4_SIGNED)] = _CB4_SIGNED * 0.37
+    params = {"w": jnp.zeros((128,))}
+    state = opt.init(params)
+    # drive m to exactly `base` in one step: g = base / (1 - b1)
+    g = {"w": jnp.asarray(base / 0.1)}
+    _, state = opt.update(g, state, params)
+    # m was quantized on the way out; a second zero-gradient-free probe of
+    # the stored stream: dequantize via the public update path by checking
+    # the NEXT step's m continuity — simpler: check the stored codes decode
+    # to `base` through the state tensors directly
+    packed = np.asarray(state.m_q["w"])
+    scale = np.asarray(state.m_scale["w"])
+    lo, hi = packed & 0xF, packed >> 4
+    codes = np.stack([lo, hi], axis=-1).reshape(packed.shape[0], -1)
+    vals = _CB4_SIGNED[codes] * scale[:, None]
+    np.testing.assert_allclose(vals.reshape(-1), base, rtol=1e-6, atol=1e-9)
+
+
+def test_make_optimizer_adamw_4bit_name():
+    opt = make_optimizer("adamw-4bit", make_lr_schedule(1e-4))
+    assert opt is not None
+    opt = make_optimizer("adam_4bit", make_lr_schedule(1e-4))
+    assert opt is not None
+
+
+def test_low_bit_opt_state_shards_on_mesh():
+    """The quantized moment streams are (nb, block)-shaped — different from
+    their params — so pin that the ZeRO-analog shard_params placement and a
+    jitted update both work for them on a >1 'model' mesh."""
+    from jax.sharding import Mesh
+
+    from dove_tpu.parallel import mesh as mesh_mod
+    from dove_tpu.train.optim import adamw_4bit, adamw_8bit
+
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("data", "model"))
+    params = {"w": jnp.zeros((16, 256)), "b": jnp.zeros((5,))}
+    for opt in (adamw_8bit(1e-2), adamw_4bit(1e-2)):
+        state = mesh_mod.shard_params(opt.init(params), mesh, "model")
+
+        @jax.jit
+        def step(p, s, _opt=opt):
+            g = jax.tree.map(jnp.ones_like, p)
+            u, s = _opt.update(g, s, p)
+            return optax.apply_updates(p, u), s
+
+        p2, s2 = step(mesh_mod.shard_params(params, mesh, "model"), state)
+        assert np.isfinite(np.asarray(p2["w"], np.float32)).all()
+        assert int(np.asarray(s2[0])) == 1  # count advanced

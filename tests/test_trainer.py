@@ -237,6 +237,35 @@ def test_stage1_came_optimizer_fit(data_dir, tmp_path):
     assert (tmp_path / "came" / "checkpoint-2").exists()
 
 
+@pytest.mark.parametrize("opt_name", ["adamw-8bit", "adamw-4bit"])
+def test_stage1_low_bit_optimizer_fit(data_dir, tmp_path, opt_name):
+    """Full fit() with the quantized-moment optimizers (reference factory's
+    bnb `use_8bit` / torchao `use_4bit` branches, optimizer_utils.py:74-105)
+    — the packed int8/uint8 state streams must survive the jitted step AND
+    orbax checkpointing, with finite losses."""
+    out = tmp_path / opt_name
+    args = _base_args(
+        data_dir, out, optimizer=opt_name, train_steps=3,
+        checkpointing_steps=2, learning_rate=1e-3,
+    )
+    trainer = DOVES1Trainer(args)
+    trainer.fit()
+    log = [
+        json.loads(l)
+        for l in (out / "train_log.jsonl").read_text().splitlines()
+    ]
+    assert log and all(np.isfinite(r["loss"]) for r in log)
+    assert (out / "checkpoint-2").exists()
+    # resume restores the quantized streams (dtype-exact) and continues
+    args2 = _base_args(
+        data_dir, out, optimizer=opt_name, train_steps=4,
+        checkpointing_steps=2, learning_rate=1e-3,
+    )
+    trainer2 = DOVES1Trainer(args2)
+    trainer2.fit()
+    assert trainer2.global_step == 4
+
+
 def test_stage2_sft_image_video(data_dir, tmp_path):
     out = tmp_path / "s2"
     args = _base_args(
