@@ -384,7 +384,9 @@ def adamw_4bit(
     De/requantization happens inside the jitted update (codebook gather +
     nearest-code argmin); transient fp32 exists only per step, so the
     RESIDENT state is what shards over the mesh (ZeRO analog), exactly
-    like :func:`adamw_8bit`.
+    like :func:`adamw_8bit`. The argmin's [*, 16] broadcast fuses into its
+    reduction (AOT-measured on the v5e: ~10 B/param update temps — a few
+    fp32 working buffers, not 64 B/param of materialized distances).
     """
     if block_size % 2:
         raise ValueError("block_size must be even (two codes pack per byte)")
