@@ -9,10 +9,16 @@ available through OpenCV.
 
 from __future__ import annotations
 
+import contextlib
+import logging
+import os
+import sys
 from pathlib import Path
 
 import cv2
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv")
 IMAGE_EXTS = (".png", ".jpg", ".jpeg")
@@ -137,10 +143,26 @@ def save_video(
         frames = _to_uint8(video)
         h, w = frames.shape[1:3]
         to_bgr = lambda f: cv2.cvtColor(f, cv2.COLOR_RGB2BGR)
-    for fourcc_name in ("avc1", "mp4v"):
+    global _MP4_FOURCC
+    order = ("avc1", "mp4v")
+    if _MP4_FOURCC:  # probe once per process
+        order = (_MP4_FOURCC,) + tuple(c for c in order if c != _MP4_FOURCC)
+    for fourcc_name in order:
         fourcc = cv2.VideoWriter_fourcc(*fourcc_name)
-        writer = cv2.VideoWriter(str(out_path), fourcc, fps, (w, h))
-        if writer.isOpened():
+        # a failing codec probe (e.g. avc1 -> h264_v4l2m2m with no HW
+        # device) spews C-level ffmpeg ERROR lines to fd 2 even though the
+        # next fourcc succeeds — silence the PROBE only, never the writes
+        with _quiet_stderr():
+            writer = cv2.VideoWriter(str(out_path), fourcc, fps, (w, h))
+            opened = writer.isOpened()
+        if opened:
+            if _MP4_FOURCC is None:
+                _MP4_FOURCC = fourcc_name
+                if fourcc_name != "avc1":
+                    logger.info(
+                        "avc1/H.264 encoder unavailable in this OpenCV "
+                        "build; writing %s mp4s", fourcc_name,
+                    )
             for frame in frames:
                 writer.write(to_bgr(frame))
             writer.release()
