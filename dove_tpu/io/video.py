@@ -23,6 +23,33 @@ logger = logging.getLogger(__name__)
 VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv")
 IMAGE_EXTS = (".png", ".jpg", ".jpeg")
 
+# resolved (once per process) by the first successful save_video codec probe
+_MP4_FOURCC: str | None = None
+
+
+@contextlib.contextmanager
+def _quiet_stderr():
+    """Silence C-level writes to fd 2 for the duration of the block.
+
+    OpenCV's ffmpeg backend logs codec-probe failures directly to the stderr
+    file descriptor (bypassing sys.stderr), so a Python-level redirect does
+    nothing; dup fd 2 onto /dev/null and restore it afterwards.
+    """
+    sys.stderr.flush()
+    try:
+        saved_fd = os.dup(2)
+    except OSError:  # pragma: no cover - fd 2 closed (daemonized)
+        yield
+        return
+    devnull = os.open(os.devnull, os.O_WRONLY)
+    try:
+        os.dup2(devnull, 2)
+        yield
+    finally:
+        os.dup2(saved_fd, 2)
+        os.close(saved_fd)
+        os.close(devnull)
+
 
 def is_video_file(path: str | Path) -> bool:
     return str(path).lower().endswith(VIDEO_EXTS)
