@@ -132,12 +132,14 @@ def main():
     ap.add_argument("--profile", type=str, default=None,
                     help="write a jax.profiler trace to this directory")
     ap.add_argument("--quantize", type=str, default="int8",
-                    choices=["int8", "none"],
+                    choices=["int8", "int8-dit", "int8-vae", "none"],
                     help="serving mode to bench. Default int8 (the "
                          "production serving config: per-channel int8 "
                          "weights, dynamic int8 activations, MXU int32 "
-                         "accumulation); 'none' benches the bf16 "
-                         "bit-parity path")
+                         "accumulation); int8-dit / int8-vae bench the "
+                         "mixed drift/speed frontier points "
+                         "(docs/reports/QUANT_FRONTIER.md); 'none' benches "
+                         "the bf16 bit-parity path")
     ap.add_argument("--data_parallel", type=int, default=1,
                     help="multi-chip mesh 'data' axis (temporal chunks / "
                          "spatial windows shard); needs that many devices")

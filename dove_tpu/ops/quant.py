@@ -82,16 +82,36 @@ def dynamic_quant(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return x_q, scale
 
 
+def dynamic_quant_rows(x2: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric PER-ROW int8 with runtime scales: x2 [M, K] -> (int8 [M, K],
+    f32 [M, 1]).
+
+    For a matmul y = x @ w the row (token) axis is never reduced, so a
+    per-row activation scale folds exactly into the dequant epilogue:
+    y[m, n] = s_x[m] * s_w[n] * acc[m, n]. vs the per-tensor scale this cuts
+    the DiT's int8 activation error ~5x at bench shapes (a single outlier
+    token no longer sets every token's step size) for one extra fused VPU
+    reduction — see docs/reports/QUANT_FRONTIER.md.
+    """
+    xf = x2.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+    scale = jnp.maximum(amax, _EPS) / 127.0
+    x_q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return x_q, scale
+
+
 def qlinear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """int8 matmul: x [..., in] @ kernel_q [in, out] -> x.dtype [..., out].
 
-    kernel_scale may be [out] or [1, out] (per-scan-layer stacked weights
-    sliced by lax.scan keep a leading singleton) — both broadcast the same.
+    Activations quantize PER ROW (token) — exact scale fold, see
+    dynamic_quant_rows. kernel_scale may be [out] or [1, out] (per-scan-layer
+    stacked weights sliced by lax.scan keep a leading singleton) — both
+    broadcast the same.
     """
-    x_q, s_x = dynamic_quant(x)
-    lead = x_q.shape[:-1]
+    lead = x.shape[:-1]
+    x_q, s_x = dynamic_quant_rows(x.reshape(-1, x.shape[-1]))
     acc = jax.lax.dot_general(
-        x_q.reshape(-1, x_q.shape[-1]), p["kernel_q"],
+        x_q, p["kernel_q"],
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
     )
     y = acc.astype(jnp.float32) * (s_x * p["kernel_scale"].reshape(-1))

@@ -126,11 +126,16 @@ class DovePipeline:
     donate_weights: bool = True
     vae_tiling: bool = False  # --is_vae_st: internal VAE tiling, no outer tiles
     output_uint8: bool = False  # staged path: skip the uint8->f32 roundtrip
-    # int8 serving mode: per-channel int8 weights + dynamic per-tensor int8
-    # activations on the MXU (ops/quant.py). Besides the ~1.3-1.5x MXU rate,
-    # halving the resident DiT (10.4 -> 5.2 GB on the 5B) buys ~2x-area VAE
-    # windows (46x42 latents), cutting feather-overlap recompute to ~1.09x.
-    # Opt-in; the bf16 path remains the bit-parity reference.
+    # int8 serving modes: per-channel int8 weights + dynamic int8 activations
+    # on the MXU (ops/quant.py). Besides the ~1.3-1.5x MXU rate, halving the
+    # resident DiT (10.4 -> 5.2 GB on the 5B) buys ~2x-area VAE windows
+    # (46x42 latents), cutting feather-overlap recompute to ~1.09x.
+    #   "int8"     — DiT + VAE quantized (fastest, most drift)
+    #   "int8-dit" — DiT only; VAE stays bf16 (keeps the big-window budget)
+    #   "int8-vae" — VAE only; DiT stays bf16 (bf16 window budget: the
+    #                10.4 GB resident DiT still caps decode temps)
+    # The mixed modes are drift/speed frontier points (docs/reports/
+    # QUANT_FRONTIER.md); the bf16 path remains the bit-parity reference.
     quantize: str | None = None
     # Staged path: emit planar YUV 4:2:0 (I420) uint8 frames [F, H*3//2, W]
     # instead of RGB [F, H, W, 3] — half the device->host bytes for the SAME
@@ -207,15 +212,17 @@ class DovePipeline:
         self.schedule = Schedule.create(self.config.scheduler)
         self._compiled: dict[tuple, Callable] = {}
         self._staged: dict[str, Callable] = {}
-        if self.quantize == "int8":
+        if self.quantize in ("int8", "int8-dit", "int8-vae"):
             from dove_tpu.ops.quant import quantize_dit, quantize_vae
 
-            self.dit_params = quantize_dit(
-                self.dit_params, donate=self.donate_weights
-            )
-            self.vae_params = quantize_vae(
-                self.vae_params, donate=self.donate_weights
-            )
+            if self._dit_quantized:
+                self.dit_params = quantize_dit(
+                    self.dit_params, donate=self.donate_weights
+                )
+            if self._vae_quantized:
+                self.vae_params = quantize_vae(
+                    self.vae_params, donate=self.donate_weights
+                )
         elif self.quantize:
             raise ValueError(f"unknown quantize mode: {self.quantize}")
         if self.output_i420 and not (self.vae_tiling and self.output_uint8):
@@ -223,7 +230,7 @@ class DovePipeline:
                 "output_i420 requires the staged path (vae_tiling=True) "
                 "with output_uint8=True"
             )
-        if self.quantize == "int8" and self.attention_backend is None:
+        if self._dit_quantized and self.attention_backend is None:
             # int8 serving mode: also run QK^T on the MXU's int8 path (the
             # kernel's only remaining measured win, ~7e-3 rel err — in line
             # with the mode's W8A8 linear layers; bf16 stays bit-parity).
@@ -240,6 +247,14 @@ class DovePipeline:
         self._stream: dict[str, Callable] = {}
         self._serve_mesh = None  # set by _staged_mesh_params
         self._dit_call = None  # tensor-parallel DiT forward (parallel/tp.py)
+
+    @property
+    def _dit_quantized(self) -> bool:
+        return self.quantize in ("int8", "int8-dit")
+
+    @property
+    def _vae_quantized(self) -> bool:
+        return self.quantize in ("int8", "int8-vae")
 
     # ------------------------------------------------------------------
     # Device-side one-step SR for a single tile
@@ -533,7 +548,12 @@ class DovePipeline:
         (1.13x), and decoder temps stay ~8.7 GB for a 9-latent batch
         (measured-linear in tile area from the 2.6 GB @ 24x24 bf16 point).
         """
-        if self.quantize:
+        if self._dit_quantized:
+            # the big-window budget is bought by the HALVED resident DiT
+            # (10.4 -> 5.2 GB), not by the VAE's own precision: int8 conv
+            # int32 accumulators and bf16 tap-stacks both measure ~4.5 MB
+            # of decode temps per latent² — so int8-vae (bf16 DiT resident)
+            # keeps the small budget and int8-dit (bf16 VAE) gets the big one
             budget = 2, (46, 42), (46, 42)
         else:
             budget = 2, (32, 32), (28, 28)
@@ -751,7 +771,7 @@ class DovePipeline:
             # clip, docs/DESIGN.md §10) cost more than the overlap compute
             # they remove, so auto also requires a directly-attached host
             # link (same probe as _parallel_get).
-            return self.quantize == "int8" and self._probe_fast_link()
+            return self._dit_quantized and self._probe_fast_link()
         return bool(self.streaming)
 
     @classmethod

@@ -79,10 +79,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--overlap_t", type=int, default=8)
     p.add_argument("--tile_batch", type=int, default=1,
                    help="batch same-geometry tiles through one device call")
-    p.add_argument("--quantize", type=str, default=None, choices=["int8"],
-                   help="int8 serving mode: per-channel int8 weights + "
-                        "dynamic int8 activations; enables full-spatial "
-                        "(seam-free) staged VAE passes")
+    p.add_argument("--quantize", type=str, default=None,
+                   choices=["int8", "int8-dit", "int8-vae"],
+                   help="int8 serving modes: per-channel int8 weights + "
+                        "dynamic int8 activations. 'int8' quantizes DiT+VAE "
+                        "(fastest); 'int8-dit'/'int8-vae' quantize one "
+                        "component (drift/speed frontier points — see "
+                        "docs/reports/QUANT_FRONTIER.md)")
     p.add_argument("--data_parallel", type=int, default=0,
                    help="N-chip data mesh: shards tile batches (fused path) "
                         "or temporal chunks (staged --is_vae_st path) — "

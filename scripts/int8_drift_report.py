@@ -1,41 +1,53 @@
 #!/usr/bin/env python
-"""int8-vs-bf16 serving drift at full model scale (VERDICT r2 item 3).
+"""Quantized-vs-bf16 serving drift at full model scale (VERDICT r2 item 3,
+r3 item 6: distribution-matched weights + per-stage qk8 attribution, and the
+r3 item 2 drift/speed frontier's quality axis).
 
-The headline bench runs the int8 W8A8 serving mode; its quality cost had
-only been measured on tiny configs and the isolated QK^T kernel. This tool
-quantifies the drift END TO END at the flagship scale:
+The headline bench runs the int8 W8A8 serving mode; this tool quantifies
+each quantize mode's quality cost END TO END at the flagship scale:
 
   1. generates REALISTIC-MAGNITUDE synthetic weights deterministically,
-     leaf by leaf on device (fan-in-scaled normals for kernels/embeddings,
-     ones for norm scales, zeros for biases — the same statistics as the
-     model's init; generating via init_* directly would need fp32 RNG temp
-     buffers beyond chip HBM at 5B);
+     leaf by leaf on device (generating via init_* directly would need fp32
+     RNG temp buffers beyond chip HBM at 5B). Two families:
+       --weights gaussian  fan-in-scaled normals (init statistics);
+       --weights outlier   CONSERVATIVE trained-checkpoint proxy: Student-t
+                           (df=4) heavy-tailed entries x log-normal
+                           per-output-channel gains (sigma=0.6), unit total
+                           variance. Trained transformers carry outlier
+                           channels (LLM.int8() / SmoothQuant observations);
+                           per-channel weight scales absorb the weight-side
+                           spread, but the heavy channels drive outlier
+                           ACTIVATIONS downstream, which is exactly what
+                           per-tensor/per-row dynamic activation scales pay
+                           for — so this family stresses the scheme HARDER
+                           than a real checkpoint's mostly-Gaussian bulk.
   2. runs the staged pipeline's three stages (enc_all / dit / dec_all) on a
      fixed fixture clip and dumps the stage outputs (moments, x0 latent,
      uint8 pixels) to an .npz;
-  3. in a second run with --quantize int8 --compare <bf16.npz>, reports
-     per-stage relative error and end-to-end PSNR(int8, bf16) over the
+  3. in a second run with --mode <quantized> --compare <bf16.npz>, reports
+     per-stage relative error and end-to-end PSNR(mode, bf16) over the
      uint8 outputs, as JSON.
 
-Caveats (documented, not hidden):
-  * synthetic weights have no trained outlier channels. Per-CHANNEL weight
-    quantization absorbs channel-scale outliers by construction, but
-    per-tensor dynamic activation quantization could lose more accuracy on
-    real checkpoints with activation outliers — the bf16 path remains the
-    bit-parity reference (ops/quant.py:16-19), and this report's numbers
-    are a realistic-statistics measurement, not a released-weights one
-    (none exist in this environment).
-  * the int8 run is forced onto the bf16 mode's VAE window plan (see
-    build_pipe) so the numbers isolate quantization: with untrained
-    random weights, per-window GroupNorm statistics make the window
-    geometry itself the dominant output difference (measured 22.5 dB
-    Y-PSNR when comparing across the two modes' native window plans —
-    a number about random projections, not about int8).
+Modes: int8 (DiT+VAE), int8-dit, int8-vae (the frontier's mixed points).
+--attention flash forces bf16 attention inside an int8/int8-dit run, so
+(int8 vs int8@flash) isolates the flash-qk8 attention kernel's share of the
+DiT stage drift.
+
+Caveat (documented, not hidden): neither weight family IS the released
+checkpoint — none exists in this environment. Use
+scripts/parity_dump_torch.py on a weights-bearing machine to dump real
+per-tensor stats, and the bf16 path remains the bit-parity reference
+(ops/quant.py). The int8 run is forced onto the bf16 mode's VAE window plan
+(see build_pipe) so the numbers isolate quantization: with untrained random
+weights, per-window GroupNorm statistics make the window geometry itself
+the dominant output difference (measured 22.5 dB Y-PSNR when comparing
+across the two modes' native window plans — a number about random
+projections, not about int8).
 
 Usage (two processes — the bf16 and int8 trees cannot co-reside in 16 GB):
   python scripts/int8_drift_report.py --mode bf16 --out /tmp/drift_bf16.npz
   python scripts/int8_drift_report.py --mode int8 --compare /tmp/drift_bf16.npz \
-      --report docs/INT8_DRIFT.json
+      --report docs/reports/INT8_DRIFT.json
 """
 
 from __future__ import annotations
@@ -53,16 +65,40 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def realistic_params(shapes, seed: int, dtype=jnp.bfloat16):
+def _outlier_leaf(key, shape, fan_in: float, dtype):
+    """Heavy-tailed entries x per-output-channel gains, unit total variance.
+
+    Entries ~ Student-t(df=4) (variance df/(df-2) = 2, normalized out);
+    per-output-channel gains ~ LogNormal(0, 0.6^2), normalized to unit mean
+    square IN the leaf (so the leaf's overall scale still matches init
+    statistics and forward activations stay bounded). The result: every
+    tensor has a few channels ~4-6x the median channel scale and entry
+    kurtosis >> 3 — the activation-outlier regime that per-tensor dynamic
+    quantization pays for (script header, weights family rationale).
+    """
+    kt, kg = jax.random.split(key)
+    # generate at the target dtype: a 5B stacked-MLP leaf is 6.2 GB in fp32
+    # temps; bf16 generation halves the RNG output buffer (same rationale as
+    # the gaussian path below)
+    t = jax.random.t(kt, df=4.0, shape=shape, dtype=dtype)
+    t = t * jnp.asarray((fan_in * 2.0) ** -0.5, dtype)
+    gains = jnp.exp(0.6 * jax.random.normal(kg, (shape[-1],), jnp.float32))
+    gains = (gains / jnp.sqrt(jnp.mean(gains**2))).astype(dtype)
+    return t * gains
+
+
+def realistic_params(shapes, seed: int, dtype=jnp.bfloat16,
+                     family: str = "gaussian"):
     """Deterministic per-leaf synthesis with init-like statistics.
 
-    kernels / embeddings: N(0, fan_in^-0.5) (fan_in = product of all dims
-    except the last); 1-D leaves: ones if a norm-scale-like name is not
-    recoverable from the flat tree, so we use value heuristics instead —
-    biases and scales are both 1-D; scales init at 1, biases at 0. We set
-    1-D leaves to zeros EXCEPT single-occurrence patterns the models read
-    as multiplicative (norm scales), which a zeros value would collapse.
-    The tree is traversed with paths so scale/bias names are used directly.
+    family="gaussian": kernels / embeddings N(0, fan_in^-0.5) (fan_in =
+    product of all dims except the last). family="outlier": heavy-tailed
+    entries + per-channel gain spread at the same total variance (see
+    _outlier_leaf — the conservative trained-checkpoint proxy).
+    1-D leaves: biases and scales are both 1-D; scales init at 1, biases at
+    0. We set 1-D leaves to zeros EXCEPT multiplicative patterns (norm
+    scales), which a zeros value would collapse; the tree is traversed with
+    paths so scale/bias names are used directly.
     """
     leaves = jax.tree_util.tree_leaves_with_path(shapes)
     out = []
@@ -82,10 +118,16 @@ def realistic_params(shapes, seed: int, dtype=jnp.bfloat16):
             # temps) and fence periodically: the relay runtime allocates
             # queued-program temps at ENQUEUE time, so hundreds of unfenced
             # leaf dispatches stack their temps in HBM (docs/DESIGN.md §10)
-            arr = jax.jit(
-                lambda k, s=leaf.shape, c=fan_in ** -0.5, d=dtype:
-                jax.random.normal(k, s, d) * jnp.asarray(c, d)
-            )(key)
+            if family == "outlier":
+                arr = jax.jit(
+                    lambda k, s=leaf.shape, f=fan_in, d=dtype:
+                    _outlier_leaf(k, s, f, d)
+                )(key)
+            else:
+                arr = jax.jit(
+                    lambda k, s=leaf.shape, c=fan_in ** -0.5, d=dtype:
+                    jax.random.normal(k, s, d) * jnp.asarray(c, d)
+                )(key)
         out.append(arr)
         if i % 16 == 15:
             np.asarray(jax.device_get(arr.ravel()[:1]))
@@ -138,7 +180,8 @@ def compact_hbm(pipe):
     )
 
 
-def build_pipe(preset: str, quantize: str | None):
+def build_pipe(preset: str, quantize: str | None, weights: str = "gaussian",
+               attention: str | None = None):
     from dove_tpu.config import cogvideox1_5_5b, cogvideox_2b, tiny_test
     from dove_tpu.models.dit import init_dit_params
     from dove_tpu.models.vae import init_vae_params
@@ -152,8 +195,11 @@ def build_pipe(preset: str, quantize: str | None):
     vae_shapes = jax.eval_shape(lambda k: init_vae_params(k, cfg.vae, dtype), key)
     pipe = DovePipeline(
         config=cfg,
-        dit_params=realistic_params(dit_shapes, seed=1, dtype=dtype),
-        vae_params=realistic_params(vae_shapes, seed=2, dtype=dtype),
+        attention_backend=attention,
+        dit_params=realistic_params(dit_shapes, seed=1, dtype=dtype,
+                                    family=weights),
+        vae_params=realistic_params(vae_shapes, seed=2, dtype=dtype,
+                                    family=weights),
         prompt_embedding=jnp.zeros(
             (cfg.dit.max_text_seq_length, cfg.dit.text_embed_dim), dtype
         ),
@@ -223,7 +269,18 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the site plugin ignores "
                          "JAX_PLATFORMS env; tiny-preset tests use this)")
-    ap.add_argument("--mode", choices=["bf16", "int8"], required=True)
+    ap.add_argument("--mode", required=True,
+                    choices=["bf16", "int8", "int8-dit", "int8-vae"])
+    ap.add_argument("--weights", default="gaussian",
+                    choices=["gaussian", "outlier"],
+                    help="synthetic weight family (outlier = conservative "
+                         "trained-checkpoint proxy; script header)")
+    ap.add_argument("--attention", default=None,
+                    choices=["flash", "flash-qk8"],
+                    help="force the attention backend (flash = bf16 "
+                         "attention inside a quantized run; the delta vs "
+                         "the default flash-qk8 isolates the attention "
+                         "kernel's drift share)")
     ap.add_argument("--preset", default="cogvideox1.5-5b")
     ap.add_argument("--frames", type=int, default=33)
     ap.add_argument("--height", type=int, default=180)
@@ -243,7 +300,8 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    pipe = build_pipe(args.preset, "int8" if args.mode == "int8" else None)
+    pipe = build_pipe(args.preset, None if args.mode == "bf16" else args.mode,
+                      weights=args.weights, attention=args.attention)
     if args.compact_hbm:
         compact_hbm(pipe)
     stages = run_stages(pipe, args.frames, args.height, args.width)
@@ -265,8 +323,16 @@ def main():
             )
         report = {
             "preset": args.preset,
+            "mode": args.mode,
+            "attention_backend": pipe.attention_backend,
             "fixture": [args.frames, args.height, args.width],
-            "weights": "synthetic fan-in-scaled normals (see script header)",
+            "weights": (
+                "synthetic fan-in-scaled normals (see script header)"
+                if args.weights == "gaussian" else
+                "synthetic outlier family: Student-t(4) entries x "
+                "log-normal(0.6) per-channel gains — conservative "
+                "trained-checkpoint proxy (see script header)"
+            ),
             "window_plan": (
                 "int8 run forced onto the bf16 VAE window budget — isolates "
                 "quantization from per-window GroupNorm geometry (script "
@@ -286,7 +352,7 @@ def main():
                 # is NOT comparable to an RGB PSNR under one name.
                 **(
                     {
-                        "psnr_y_int8_vs_bf16_db": psnr_u8(
+                        "psnr_y_vs_bf16_db": psnr_u8(
                             stages["out_u8"][
                                 :, :, : stages["out_u8"].shape[2] * 2 // 3
                             ],
@@ -298,7 +364,7 @@ def main():
                     }
                     if stages["out_u8"].ndim == 4
                     else {
-                        "psnr_rgb_int8_vs_bf16_db": psnr_u8(
+                        "psnr_rgb_vs_bf16_db": psnr_u8(
                             stages["out_u8"], ref["out_u8"]
                         )
                     }

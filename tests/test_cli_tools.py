@@ -266,7 +266,7 @@ def test_int8_drift_report_roundtrip(tmp_path):
     assert r.returncode == 0, r.stderr
     rep = json.loads(report.read_text())
     assert set(rep["rel_err"]) == {"enc_moments", "dit_x0"}
-    assert np.isfinite(rep["end_to_end"]["psnr_rgb_int8_vs_bf16_db"])
+    assert np.isfinite(rep["end_to_end"]["psnr_rgb_vs_bf16_db"])
     # tiny VAE convs are below the 64-channel quantization threshold, so
     # encode is exact; the DiT quantizes and must drift only slightly
     assert rep["rel_err"]["enc_moments"] == 0.0

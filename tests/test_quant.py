@@ -35,6 +35,25 @@ def test_dynamic_quant_preserves_scale():
     assert rel < 1.0 / 127.0
 
 
+def test_qlinear_per_row_scales_ignore_outlier_tokens():
+    """One huge-magnitude token must not degrade the OTHER tokens' precision
+    (the per-tensor scheme's failure mode; qlinear quantizes per row)."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    x = jax.random.normal(k1, (32, 64), jnp.float32)
+    x = x.at[3].mul(1000.0)  # outlier token
+    w = jax.random.normal(k2, (64, 48), jnp.float32) * 0.1
+    w_q, scale = quantize_weight(w)
+    out = qlinear({"kernel_q": w_q, "kernel_scale": scale}, x)
+    ref = x @ w
+    rows = jnp.delete(jnp.arange(32), 3)
+    rel = float(
+        jnp.linalg.norm(out[rows] - ref[rows]) / jnp.linalg.norm(ref[rows])
+    )
+    # per-tensor scales would put this near 1.0 (every non-outlier row
+    # collapses to ~zero codes); per-row keeps full int8 precision
+    assert rel < 0.02, f"outlier token leaked into other rows: {rel}"
+
+
 def test_qlinear_matches_fp_linear():
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(2), 3)
     x = jax.random.normal(k1, (4, 17, 64), jnp.float32)
@@ -112,6 +131,35 @@ def test_quantize_policy_on_realistic_shapes():
     assert "kernel_q" in q["big"] and "kernel_q" in q["conv2d"]
     for k in ("pointwise", "conv_in", "conv_out"):
         assert "kernel" in q[k], k
+
+
+def test_mixed_quantize_modes_quantize_one_component(tiny_models):
+    """int8-dit / int8-vae (the drift/speed frontier's mixed points) must
+    quantize exactly their component and budget VAE windows off the DiT's
+    residency (docs/reports/QUANT_FRONTIER.md)."""
+    from dove_tpu.pipeline import DovePipeline
+
+    cfg, dit, vae = tiny_models
+    prompt = jnp.zeros((cfg.dit.max_text_seq_length, cfg.dit.text_embed_dim),
+                       jnp.float32)
+    common = dict(config=cfg, prompt_embedding=prompt, dtype=jnp.float32,
+                  vae_tiling=True, donate_weights=False)
+
+    pd = DovePipeline(dit_params=dit, vae_params=vae, quantize="int8-dit",
+                      **common)
+    assert pd._dit_quantized and not pd._vae_quantized
+    assert pd.dit_params["blocks"]["attn1"]["to_q"]["kernel_q"].dtype == jnp.int8
+    assert pd.vae_params is vae  # untouched bf16 tree
+    # halved DiT residency buys the big VAE window budget
+    assert pd._window_budget()[1] == (46, 42)
+
+    pv = DovePipeline(dit_params=dit, vae_params=vae, quantize="int8-vae",
+                      **common)
+    assert pv._vae_quantized and not pv._dit_quantized
+    assert pv.dit_params is dit
+    # bf16 DiT still resident: keep the small budget and bf16 attention
+    assert pv._window_budget()[1] == (32, 32)
+    assert pv.attention_backend is None
 
 
 def test_pipeline_quantized_end_to_end():
