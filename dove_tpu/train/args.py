@@ -33,7 +33,10 @@ class Args(BaseModel):
     output_dir: Path = Path(
         "train_results/{:%Y-%m-%d-%H-%M-%S}".format(datetime.datetime.now())
     )
-    report_to: Optional[Literal["tensorboard", "jsonl", "all"]] = "jsonl"
+    # "wandb" writes a W&B-offline-layout run dir (train/tracking.py):
+    # history/summary/config/media in wandb schemas + tfevents, importable
+    # with `wandb sync --sync-tensorboard` (reference: trainer.py:485-493)
+    report_to: Optional[Literal["tensorboard", "jsonl", "wandb", "all"]] = "jsonl"
     tracker_name: str = "VSR"
 
     ########## Data ##########

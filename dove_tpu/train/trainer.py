@@ -139,6 +139,7 @@ class Trainer:
         self.global_step = 0
         self._log_file = None
         self._tb = None  # tensorboard SummaryWriter when report_to asks for it
+        self._wandb = None  # WandbOfflineRun when report_to in (wandb, all)
         self.perceptual_fn: Callable | None = None
 
     # ------------------------------------------------------------------
@@ -474,6 +475,14 @@ class Trainer:
             except Exception as e:  # tensorboard backend not installed
                 logger.warning("tensorboard writer unavailable (%s); "
                                "falling back to jsonl only", e)
+        if is_main_process() and args.report_to in ("wandb", "all"):
+            from dove_tpu.train.tracking import WandbOfflineRun
+
+            self._wandb = WandbOfflineRun(
+                args.output_dir, project=args.tracker_name,
+                config={k: (str(v) if isinstance(v, Path) else v)
+                        for k, v in args.model_dump().items()},
+            )
 
         self.load_components()
         self.prepare_dataset()
@@ -574,6 +583,8 @@ class Trainer:
             self._log_file.close()
         if self._tb is not None:
             self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()
 
     # ------------------------------------------------------------------
     # Logging / checkpoint / validation
@@ -595,6 +606,12 @@ class Trainer:
             for k, v in rec.items():
                 if isinstance(v, (int, float)) and k != "step":
                     self._tb.add_scalar(f"train/{k}", v, self.global_step)
+        if self._wandb is not None:
+            self._wandb.log(
+                {f"train/{k}": v for k, v in rec.items()
+                 if isinstance(v, (int, float)) and k != "step"},
+                self.global_step,
+            )
 
     def log_memory(self) -> None:
         try:
@@ -712,7 +729,12 @@ class Trainer:
         for clip in clips:
             frames = video_io.load_sequence(clip)
             sr = pipe.process_frames(frames, mesh=serve_mesh)
-            video_io.save_video(sr, out_dir / f"{clip.stem}.mp4", fps=args.gen_fps)
+            artifact = out_dir / f"{clip.stem}.mp4"
+            video_io.save_video(sr, artifact, fps=args.gen_fps)
+            if self._wandb is not None:
+                # media record analog of the reference's wandb.Video
+                # validation logging (trainer.py:803-843)
+                self._wandb.log_video(f"validation/{clip.stem}", artifact, step)
             ref = None
             if ref_dir is not None and (ref_dir / clip.name).exists():
                 ref = video_io.load_sequence(ref_dir / clip.name)
@@ -757,6 +779,9 @@ class Trainer:
         if self._tb is not None:
             for k, v in summary.items():
                 self._tb.add_scalar(f"validation/{k}", v, step)
+        if self._wandb is not None:
+            self._wandb.log(
+                {f"validation/{k}": v for k, v in summary.items()}, step)
         return summary
 
 

@@ -459,6 +459,10 @@ def test_validate_metrics_and_artifacts(data_dir, tmp_path):
     trainer = DOVES1Trainer(args)
     trainer.load_components()
     (tmp_path / "out").mkdir(exist_ok=True)
+    # attach the wandb-offline tracker (fit() does this for report_to=wandb)
+    from dove_tpu.train.tracking import WandbOfflineRun
+
+    trainer._wandb = WandbOfflineRun(args.output_dir, "VSR", {"rank": 4})
     summary = trainer.validate(step=1)
     assert set(summary) == {"psnr", "ssim"}  # niqe skipped with a warning
     assert all(np.isfinite(v) for v in summary.values())
@@ -466,6 +470,48 @@ def test_validate_metrics_and_artifacts(data_dir, tmp_path):
     assert out_mp4.exists()
     cap = cv2.VideoCapture(str(out_mp4))
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 9
+    # wandb-offline run dir: summary scalars, a video media record in the
+    # history, and the copied media file (reference trainer.py:803-843)
+    import json as _json
+
+    files = trainer._wandb.files
+    trainer._wandb.finish()
+    hist = [_json.loads(ln) for ln in
+            (files / "wandb-history.jsonl").read_text().splitlines()]
+    assert any("validation/psnr" in r for r in hist)
+    media = [r for r in hist
+             if any(isinstance(v, dict) and v.get("_type") == "video-file"
+                    for v in r.values())]
+    assert media, "no video media record in wandb history"
+    rel = next(v["path"] for v in media[0].values()
+               if isinstance(v, dict) and v.get("_type") == "video-file")
+    assert (files / rel).exists()
+    summary = _json.loads((files / "wandb-summary.json").read_text())
+    assert "validation/psnr" in summary
+    assert list(files.glob("events.out.tfevents.*")), "no tfevents written"
+
+
+def test_wandb_offline_tracker_unit(tmp_path):
+    """WandbOfflineRun: layout, history schema, config.yaml, finish marker."""
+    from dove_tpu.train.tracking import WandbOfflineRun
+
+    run = WandbOfflineRun(tmp_path, "proj", {"lr": 1e-3, "note": "a: b"})
+    run.log({"train/loss": 0.5}, step=1)
+    run.log({"train/loss": 0.25, "train/grad_norm": 1.0}, step=2)
+    run.finish()
+    files = run.files
+    assert (files / "wandb-metadata.json").exists()
+    cfg_text = (files / "config.yaml").read_text()
+    assert "wandb_version: 1" in cfg_text and "lr:" in cfg_text
+    import json as _json
+
+    hist = [_json.loads(ln) for ln in
+            (files / "wandb-history.jsonl").read_text().splitlines()]
+    assert [r["_step"] for r in hist] == [1, 2]
+    assert all("_runtime" in r and "_timestamp" in r for r in hist)
+    summary = _json.loads((files / "wandb-summary.json").read_text())
+    assert summary["train/loss"] == 0.25 and summary["_step"] == 2
+    assert (run.run_dir / "run-finished").exists()
 
 
 def test_validate_under_tensor_parallel(data_dir, tmp_path):
