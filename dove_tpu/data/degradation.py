@@ -228,6 +228,39 @@ def _have_av() -> bool:
         return False
 
 
+_BACKEND_WARNED = False
+
+
+def compression_backend() -> str:
+    """Which backend RandomVideoCompression will actually use here.
+
+    The reference synthesizes MPEG training artifacts through an in-memory
+    PyAV round trip over a {libx264, h264, mpeg4} x bitrate ladder
+    (/root/reference/finetune/datasets/degradation.py:478-558). Those
+    artifacts are load-bearing for real-world VSR quality, so the active
+    backend is recorded in training logs (Trainer.fit) and the gap is
+    quantified by scripts/degradation_backend_report.py
+    (docs/reports/DEGRADATION_BACKEND.json).
+    """
+    return "pyav" if _have_av() else "cv2-mp4v-fallback"
+
+
+def _warn_fallback_once() -> None:
+    global _BACKEND_WARNED
+    if _BACKEND_WARNED:
+        return
+    _BACKEND_WARNED = True
+    logger.warning(
+        "PyAV is not importable: RandomVideoCompression is using the "
+        "cv2 mp4v temp-file FALLBACK — a different artifact family than "
+        "the reference's in-memory libx264/h264/mpeg4 ladder (the sampled "
+        "codec is ignored and the bitrate maps onto cv2's quality knob). "
+        "Training data synthesized here records "
+        "video_compression_backend=cv2-mp4v-fallback in train_log.jsonl; "
+        "see docs/reports/DEGRADATION_BACKEND.json for the measured gap."
+    )
+
+
 class RandomVideoCompression:
     """Video codec round trip (temporal compression artifacts)."""
 
@@ -241,6 +274,7 @@ class RandomVideoCompression:
         bitrate = int(rng.uniform(*p["bitrate"]))
         if _have_av():
             return self._av_roundtrip(frames, str(codec), bitrate)
+        _warn_fallback_once()
         return self._cv2_roundtrip(frames, bitrate)
 
     def _av_roundtrip(self, frames, codec, bitrate):

@@ -465,6 +465,16 @@ class Trainer:
         if is_main_process():
             args.dump_yaml(args.output_dir / "args.yaml")
             self._log_file = open(args.output_dir / "train_log.jsonl", "a")
+            # Record WHICH video-compression backend synthesizes the MPEG
+            # training artifacts (reference degradation.py:478-558 uses
+            # PyAV; the cv2 fallback is a different artifact family —
+            # docs/reports/DEGRADATION_BACKEND.json quantifies the gap).
+            from dove_tpu.data.degradation import compression_backend
+
+            backend_rec = {"video_compression_backend": compression_backend()}
+            logger.info("%s", backend_rec)
+            self._log_file.write(json.dumps(backend_rec) + "\n")
+            self._log_file.flush()
         if is_main_process() and args.report_to in ("tensorboard", "all"):
             try:
                 from torch.utils.tensorboard import SummaryWriter

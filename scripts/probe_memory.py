@@ -26,16 +26,23 @@ def fmt(n):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--quantize", default=None, choices=["int8"])
+    ap.add_argument("--quantize", default=None,
+                    choices=["int8", "int8-dit", "int8-vae"])
     ap.add_argument("--frames", type=int, default=33)
     ap.add_argument("--height", type=int, default=180)
     ap.add_argument("--width", type=int, default=320)
+    ap.add_argument("--dec_cap", type=int, nargs=2, default=None,
+                    help="probe a candidate decode-window cap (latents)")
     args = ap.parse_args()
 
     import bench as bench_mod
 
     pipe = bench_mod.build_pipeline("cogvideox1.5-5b", vae_tiling=True,
                                     quantize=args.quantize)
+    if args.dec_cap:
+        # direct field set (dataclasses.replace would re-run __post_init__
+        # and double-quantize); read at trace time in _window_budget
+        pipe.dec_window_cap = tuple(args.dec_cap)
     params_bytes = sum(
         x.size * x.dtype.itemsize
         for x in jax.tree.leaves((pipe.dit_params, pipe.vae_params))

@@ -120,3 +120,54 @@ def test_shuffle_order_is_rng_driven(clip):
     assert not np.array_equal(out_a, out_c)
     # set_target_size finds no resize op here
     assert op.set_target_size((8, 8)) is False
+
+
+def test_compression_backend_recorded(clip, caplog):
+    """The active video-compression backend is queryable and, when the cv2
+    fallback is in use, loudly warned about exactly once (VERDICT r3 #5:
+    training must record WHICH path synthesized its MPEG artifacts)."""
+    import logging
+
+    from dove_tpu.data import degradation as deg
+
+    backend = deg.compression_backend()
+    assert backend == ("pyav" if deg._have_av() else "cv2-mp4v-fallback")
+
+    if not deg._have_av():
+        deg._BACKEND_WARNED = False  # reset the once-latch for the test
+        op = deg.RandomVideoCompression({
+            "codec": ["mpeg4"], "codec_prob": [1.0],
+            "bitrate": [1e4, 1e5]})
+        frames = np.tile(clip[:2], (1, 1, 1, 1))
+        with caplog.at_level(logging.WARNING, "dove_tpu.data.degradation"):
+            op(frames, np.random.default_rng(0))
+            op(frames, np.random.default_rng(1))
+        banners = [r for r in caplog.records if "FALLBACK" in r.message]
+        assert len(banners) == 1  # loud, but once
+
+
+def test_degradation_gap_metrics():
+    """The block-DCT band-energy + blockiness metrics behave as designed
+    (the committed DEGRADATION_BACKEND.json rows rest on them)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    import degradation_backend_report as rep
+
+    clip_ = rep.make_clip(frames=4, size=64)
+    bands = rep.dct_band_energy(clip_)
+    assert abs(sum(bands.values()) - 1.0) < 1e-6
+    # hard-quantized blocks: energy collapses into the low band and the
+    # block-boundary gradient ratio rises (base: smooth ramp, so the
+    # blockiness denominator is interior gradient of the ramp, not zero)
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float32) / 64.0
+    smooth = np.broadcast_to(
+        (0.3 * xx + 0.2 * yy)[None, :, :, None], (4, 64, 64, 3)).copy()
+    blocky = smooth.reshape(4, 8, 8, 8, 8, 3).mean(axis=(2, 4), keepdims=True)
+    blocky = np.broadcast_to(
+        blocky, smooth.reshape(4, 8, 8, 8, 8, 3).shape).reshape(4, 64, 64, 3)
+    bands_s = rep.dct_band_energy(smooth)
+    bands_b = rep.dct_band_energy(blocky)
+    assert bands_b["dct_low"] >= bands_s["dct_low"]
+    assert rep.blockiness(blocky) > rep.blockiness(smooth) * 2
