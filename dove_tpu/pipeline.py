@@ -548,13 +548,16 @@ class DovePipeline:
         (1.13x), and decoder temps stay ~8.7 GB for a 9-latent batch
         (measured-linear in tile area from the 2.6 GB @ 24x24 bf16 point).
         """
-        if self._dit_quantized:
-            # the big-window budget is bought by the HALVED resident DiT
-            # (10.4 -> 5.2 GB), not by the VAE's own precision: int8 conv
-            # int32 accumulators and bf16 tap-stacks both measure ~4.5 MB
-            # of decode temps per latent² — so int8-vae (bf16 DiT resident)
-            # keeps the small budget and int8-dit (bf16 VAE) gets the big one
+        if self._dit_quantized and self._vae_quantized:
             budget = 2, (46, 42), (46, 42)
+        elif self._dit_quantized:
+            # int8-dit: the halved resident DiT buys bigger-than-bf16
+            # windows, but NOT the full int8 budget — the bf16 VAE's decode
+            # temps run ~1.4x the int8 VAE's per latent² (AOT-measured on
+            # chip: dec_all temps 14.41 G at 46x42 bf16 vs 10.21 G int8;
+            # the 46x42 bf16 decode OOMs a 16 G chip next to the 6.35 G
+            # residency). 36x34 probes at 8.44 G temps / 15.1 G total.
+            budget = 2, (40, 38), (36, 34)
         else:
             budget = 2, (32, 32), (28, 28)
         if self.dec_window_cap is not None:
