@@ -1277,7 +1277,8 @@ class DovePipeline:
         self._barrier(z)
         t2 = time.time()
         self.stage_times["dit"] = self.stage_times.get("dit", 0.0) + (t2 - t1)
-        out = self._parallel_get(fns["dec_all"](vae_p, z))
+        dec = fns["dec_all"](vae_p, z)
+        self._barrier(dec)
         t3 = time.time()
         self.stage_times["dec"] = self.stage_times.get("dec", 0.0) + (t3 - t2)
         if timing:
@@ -1285,7 +1286,11 @@ class DovePipeline:
                 f"mesh batch({batch.shape[0]}): enc {t1 - t0:.2f}s "
                 f"dit {t2 - t1:.2f}s dec {t3 - t2:.2f}s", flush=True,
             )
-        return out
+        # DEVICE array: the caller overlaps this group's host pull with the
+        # next group's dispatch (the pull is host-relay-bound — the N-chunk
+        # output funnel through one host link is the mesh path's real
+        # serial term, MULTICHIP.md "Host-bound correction").
+        return dec
 
     def compiled_sr(self, shape: tuple) -> Callable:
         """jit-compiled sr_tile for a given [B, F, H, W, 3] tile shape."""
@@ -1504,17 +1509,36 @@ class DovePipeline:
                 # also round-trips through uint8.
                 def mesh_chunks():
                     nonlocal rng
-                    for g0 in range(0, len(chunks), n_par):
-                        group = chunks[g0 : g0 + n_par]
-                        datas = [chunk_data(ts, te)[0] for ts, te in group]
-                        real = len(datas)
-                        while len(datas) < n_par:  # pad the tail group
-                            datas.append(datas[-1])
-                        rng, step_rng = jax.random.split(rng)
-                        outs = self._sr_chunk_batch_staged(
-                            np.stack(datas), step_rng, mesh
-                        )
-                        yield from zip(group, outs[:real])
+                    # Pull/dispatch overlap: group g's decode output pulls
+                    # on a background thread WHILE group g+1's programs run
+                    # on the mesh (the stage barriers block the main
+                    # thread, so the overlap needs its own thread; the DMA
+                    # releases the GIL). The pull is the mesh path's serial
+                    # term — all chunks' outputs funnel through ONE host
+                    # link (MULTICHIP.md "Host-bound correction") — and
+                    # this hides it behind device time for every group but
+                    # the last.
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    pending = None  # (group, pull_future, real_count)
+                    with ThreadPoolExecutor(1) as pull_pool:
+                        for g0 in range(0, len(chunks), n_par):
+                            group = chunks[g0 : g0 + n_par]
+                            datas = [chunk_data(ts, te)[0] for ts, te in group]
+                            real = len(datas)
+                            while len(datas) < n_par:  # pad the tail group
+                                datas.append(datas[-1])
+                            rng, step_rng = jax.random.split(rng)
+                            dev = self._sr_chunk_batch_staged(
+                                np.stack(datas), step_rng, mesh
+                            )
+                            fut = pull_pool.submit(self._parallel_get, dev)
+                            if pending is not None:
+                                pgroup, pfut, preal = pending
+                                yield from zip(pgroup, pfut.result()[:preal])
+                            pending = (group, fut, real)
+                        pgroup, pfut, preal = pending
+                        yield from zip(pgroup, pfut.result()[:preal])
 
                 assembled = assemble_uint8(mesh_chunks())
                 if not self.output_uint8:
