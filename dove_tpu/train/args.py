@@ -119,6 +119,12 @@ class Args(BaseModel):
     noise_step: int = 0
     degradation_config: str = "configs/degradation.yaml"
     image_ratio: float = 0.0  # stage 2: probability of training on the image pair
+    # Optical-flow toolkit (reference args.py:100-101). Like the reference,
+    # use_optical_flow only LOADS the frozen RAFT (models/flow_fusion.py is
+    # the consumer library; no released recipe wires it into a loss).
+    use_optical_flow: bool = False
+    is_learnable_fuse: bool = False
+    raft_weights: Optional[Path] = None  # raft-things.pth (torch state dict)
 
     ########## Stage-2 losses ##########
     use_perceptual_loss: bool = False

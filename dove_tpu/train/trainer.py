@@ -214,6 +214,21 @@ class Trainer:
             )
             self.lora_scale = args.lora_alpha / args.rank
 
+        # Frozen bidirectional RAFT (reference trainer.py:433-434: built
+        # when --use_optical_flow, consumed by nothing in the released
+        # recipe — the flow toolkit lives in models/flow_fusion.py).
+        self.raft_params = None
+        if args.use_optical_flow:
+            if not args.raft_weights or not Path(args.raft_weights).exists():
+                raise FileNotFoundError(
+                    "--use_optical_flow needs --raft_weights pointing at "
+                    "raft-things.pth (the reference hardcodes "
+                    "utils/RAFT/raft-things.pth and fails the same way)"
+                )
+            from dove_tpu.models.raft import load_raft
+
+            self.raft_params = load_raft(args.raft_weights)
+
     # ------------------------------------------------------------------
     # Typed component/state views (reference schemas/components.py,
     # schemas/state.py). Read-only: the live sources of truth are the

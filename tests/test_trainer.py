@@ -537,3 +537,12 @@ def test_validate_under_tensor_parallel(data_dir, tmp_path):
     q = trainer.dit_params["blocks"]["attn1"]["to_q"]["kernel"]
     assert q.sharding.spec[-1] == "model"
     assert np.isfinite(np.asarray(q).sum())  # raises if donated/deleted
+
+
+def test_use_optical_flow_requires_raft_weights(data_dir, tmp_path):
+    """--use_optical_flow loads the frozen RAFT (reference trainer.py:433);
+    without a weights file it must fail loudly up front, not mid-epoch."""
+    args = _base_args(data_dir, tmp_path / "out", use_optical_flow=True)
+    trainer = DOVES1Trainer(args)
+    with pytest.raises(FileNotFoundError, match="raft_weights"):
+        trainer.load_components()
