@@ -150,8 +150,12 @@ def test_mixed_quantize_modes_quantize_one_component(tiny_models):
     assert pd._dit_quantized and not pd._vae_quantized
     assert pd.dit_params["blocks"]["attn1"]["to_q"]["kernel_q"].dtype == jnp.int8
     assert pd.vae_params is vae  # untouched bf16 tree
-    # halved DiT residency buys the big VAE window budget
-    assert pd._window_budget()[1] == (46, 42)
+    # halved DiT residency buys a bigger-than-bf16 window budget — but
+    # NOT the full-int8 one: the bf16 VAE's decode temps per latent^2 are
+    # ~1.4x the int8 VAE's (AOT-measured; the 46x42 bf16 decode OOMs a
+    # 16G chip next to the int8 DiT)
+    assert pd._window_budget()[1] == (40, 38)
+    assert pd._window_budget()[2] == (36, 34)
 
     pv = DovePipeline(dit_params=dit, vae_params=vae, quantize="int8-vae",
                       **common)

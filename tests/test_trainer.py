@@ -233,7 +233,8 @@ def test_stage1_came_optimizer_fit(data_dir, tmp_path):
         json.loads(l)
         for l in (tmp_path / "came" / "train_log.jsonl").read_text().splitlines()
     ]
-    assert log and all(np.isfinite(r["loss"]) for r in log)
+    steps = [r for r in log if "loss" in r]
+    assert steps and all(np.isfinite(r["loss"]) for r in steps)
     assert (tmp_path / "came" / "checkpoint-2").exists()
 
 
@@ -254,7 +255,8 @@ def test_stage1_low_bit_optimizer_fit(data_dir, tmp_path, opt_name):
         json.loads(l)
         for l in (out / "train_log.jsonl").read_text().splitlines()
     ]
-    assert log and all(np.isfinite(r["loss"]) for r in log)
+    steps = [r for r in log if "loss" in r]
+    assert steps and all(np.isfinite(r["loss"]) for r in steps)
     assert (out / "checkpoint-2").exists()
     # resume restores the quantized streams (dtype-exact) and continues
     args2 = _base_args(
