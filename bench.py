@@ -132,11 +132,12 @@ def main():
     ap.add_argument("--profile", type=str, default=None,
                     help="write a jax.profiler trace to this directory")
     ap.add_argument("--quantize", type=str, default="int8",
-                    choices=["int8", "int8-dit", "int8-vae", "none"],
+                    choices=["int8", "int8-dit", "int8-vae", "int8w", "none"],
                     help="serving mode to bench. Default int8 (the "
                          "production serving config: per-channel int8 "
                          "weights, dynamic int8 activations, MXU int32 "
-                         "accumulation); int8-dit / int8-vae bench the "
+                         "accumulation); int8-dit / int8-vae / int8w (weight-only "
+                         "W8A16) bench the "
                          "mixed drift/speed frontier points "
                          "(docs/reports/QUANT_FRONTIER.md); 'none' benches "
                          "the bf16 bit-parity path")

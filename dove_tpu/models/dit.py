@@ -43,10 +43,17 @@ Params = dict[str, Any]
 # ---------------------------------------------------------------------------
 
 def _linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    if "kernel_q" in p:  # int8 serving mode (ops/quant.py)
+    if "kernel_q" in p:  # int8 W8A8 serving mode (ops/quant.py)
         from dove_tpu.ops.quant import qlinear
 
         return qlinear(p, x)
+    if "kernel_w8" in p:  # weight-only int8 (W8A16): int8 storage halves
+        # residency; dequantize into the bf16 matmul, activations exact
+        w = p["kernel_w8"].astype(x.dtype) * p["kernel_scale"].astype(x.dtype)
+        y = x @ w
+        if "bias" in p:
+            y = y + p["bias"].astype(x.dtype)
+        return y
     y = x @ p["kernel"].astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
@@ -66,6 +73,9 @@ def _linear_psum(p: Params, x: jnp.ndarray, tp_axis: str) -> jnp.ndarray:
         from dove_tpu.ops.quant import qlinear
 
         y = qlinear({k: v for k, v in p.items() if k != "bias"}, x)
+    elif "kernel_w8" in p:
+        w = p["kernel_w8"].astype(x.dtype) * p["kernel_scale"].astype(x.dtype)
+        y = x @ w
     else:
         y = x @ p["kernel"].astype(x.dtype)
     y = jax.lax.psum(y, tp_axis)

@@ -140,26 +140,36 @@ def qconv(
     return y.astype(x.dtype)
 
 
-def _quantize_leaf_dict(p: Params, donate: bool = True) -> Params:
-    """{"kernel": w, "bias"?} -> {"kernel_q", "kernel_scale", "bias"?}."""
+def _quantize_leaf_dict(p: Params, donate: bool = True,
+                        key: str = "kernel_q") -> Params:
+    """{"kernel": w, "bias"?} -> {key, "kernel_scale", "bias"?}."""
     fn = _quantize_weight_donated if donate else _quantize_weight_jit
     w_q, scale = fn(p["kernel"])
-    out = {"kernel_q": w_q, "kernel_scale": scale}
+    out = {key: w_q, "kernel_scale": scale}
     if "bias" in p:
         out["bias"] = p["bias"]
     return out
 
 
-def quantize_dit(params: Params, donate: bool = True) -> Params:
+def quantize_dit(params: Params, donate: bool = True,
+                 w_only: bool = False) -> Params:
     """Quantize the DiT's hot matmuls: attention q/k/v/out + both MLP
     projections (per scanned-layer stacked leaves quantize per layer too —
     the output-channel axis is last, the layer axis leads, so per-channel
-    scales broadcast per layer: kernel [L, in, out] -> scale [L, 1, out])."""
+    scales broadcast per layer: kernel [L, in, out] -> scale [L, 1, out]).
+
+    w_only=True stores the same int8 weights under "kernel_w8" instead:
+    the W8A16 serving mode — weights live in HBM at int8 (halved DiT
+    residency buys the bigger VAE window budget) but dequantize into the
+    bf16 matmul, so activations carry NO quantization error. Drift is the
+    per-channel weight rounding alone (frontier point between bf16 and
+    int8-dit, docs/reports/QUANT_FRONTIER.md)."""
+    key = "kernel_w8" if w_only else "kernel_q"
 
     def q_stacked(p):
         fn = _quantize_stacked_donated if donate else _quantize_stacked_jit
         w_q, scale = fn(p["kernel"])
-        out = {"kernel_q": w_q, "kernel_scale": scale}
+        out = {key: w_q, "kernel_scale": scale}
         if "bias" in p:
             out["bias"] = p["bias"]
         return out

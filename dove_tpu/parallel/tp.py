@@ -89,7 +89,8 @@ def dit_tp_specs(params: Any, axis: str = "model") -> Any:
         layer, leafname = keys[-2], keys[-1]
         if layer in _COL_PARALLEL:
             return P(*([None] * (ndim - 1)), axis)
-        if layer in _ROW_PARALLEL and leafname in ("kernel", "kernel_q"):
+        if layer in _ROW_PARALLEL and leafname in ("kernel", "kernel_q",
+                                                   "kernel_w8"):
             return P(*([None] * (ndim - 2)), axis, None)
         return P()
 

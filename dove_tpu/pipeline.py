@@ -134,6 +134,10 @@ class DovePipeline:
     #   "int8-dit" — DiT only; VAE stays bf16 (keeps the big-window budget)
     #   "int8-vae" — VAE only; DiT stays bf16 (bf16 window budget: the
     #                10.4 GB resident DiT still caps decode temps)
+    #   "int8w"    — WEIGHT-ONLY int8 DiT (W8A16): int8 storage halves the
+    #                resident DiT (same window budget as int8-dit) but the
+    #                matmuls dequantize into bf16 — activations exact, the
+    #                only drift is per-channel weight rounding
     # The mixed modes are drift/speed frontier points (docs/reports/
     # QUANT_FRONTIER.md); the bf16 path remains the bit-parity reference.
     quantize: str | None = None
@@ -212,12 +216,13 @@ class DovePipeline:
         self.schedule = Schedule.create(self.config.scheduler)
         self._compiled: dict[tuple, Callable] = {}
         self._staged: dict[str, Callable] = {}
-        if self.quantize in ("int8", "int8-dit", "int8-vae"):
+        if self.quantize in ("int8", "int8-dit", "int8-vae", "int8w"):
             from dove_tpu.ops.quant import quantize_dit, quantize_vae
 
-            if self._dit_quantized:
+            if self._dit_resident_int8:
                 self.dit_params = quantize_dit(
-                    self.dit_params, donate=self.donate_weights
+                    self.dit_params, donate=self.donate_weights,
+                    w_only=self.quantize == "int8w",
                 )
             if self._vae_quantized:
                 self.vae_params = quantize_vae(
@@ -250,7 +255,14 @@ class DovePipeline:
 
     @property
     def _dit_quantized(self) -> bool:
+        """W8A8 compute: int8 activations + the flash-qk8 attention."""
         return self.quantize in ("int8", "int8-dit")
+
+    @property
+    def _dit_resident_int8(self) -> bool:
+        """DiT weights STORED int8 (residency halved -> bigger VAE window
+        budget, streaming caches fit) — includes the W8A16 int8w mode."""
+        return self.quantize in ("int8", "int8-dit", "int8w")
 
     @property
     def _vae_quantized(self) -> bool:
@@ -550,7 +562,7 @@ class DovePipeline:
         """
         if self._dit_quantized and self._vae_quantized:
             budget = 2, (46, 42), (46, 42)
-        elif self._dit_quantized:
+        elif self._dit_resident_int8:
             # int8-dit: the halved resident DiT buys bigger-than-bf16
             # windows, but NOT the full int8 budget — the bf16 VAE's decode
             # temps run ~1.4x the int8 VAE's per latent² (AOT-measured on
@@ -774,7 +786,7 @@ class DovePipeline:
             # clip, docs/DESIGN.md §10) cost more than the overlap compute
             # they remove, so auto also requires a directly-attached host
             # link (same probe as _parallel_get).
-            return self._dit_quantized and self._probe_fast_link()
+            return self._dit_resident_int8 and self._probe_fast_link()
         return bool(self.streaming)
 
     @classmethod

@@ -80,10 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tile_batch", type=int, default=1,
                    help="batch same-geometry tiles through one device call")
     p.add_argument("--quantize", type=str, default=None,
-                   choices=["int8", "int8-dit", "int8-vae"],
+                   choices=["int8", "int8-dit", "int8-vae", "int8w"],
                    help="int8 serving modes: per-channel int8 weights + "
                         "dynamic int8 activations. 'int8' quantizes DiT+VAE "
                         "(fastest); 'int8-dit'/'int8-vae' quantize one "
+                        "component, 'int8w' stores int8 weights but computes "
+                        "bf16 (weight-rounding drift only); each is one "
                         "component (drift/speed frontier points — see "
                         "docs/reports/QUANT_FRONTIER.md)")
     p.add_argument("--data_parallel", type=int, default=0,

@@ -28,7 +28,8 @@ each quantize mode's quality cost END TO END at the flagship scale:
      per-stage relative error and end-to-end PSNR(mode, bf16) over the
      uint8 outputs, as JSON.
 
-Modes: int8 (DiT+VAE), int8-dit, int8-vae (the frontier's mixed points).
+Modes: int8 (DiT+VAE), int8-dit, int8-vae, int8w (weight-only W8A16) —
+the frontier's mixed points.
 --attention flash forces bf16 attention inside an int8/int8-dit run, so
 (int8 vs int8@flash) isolates the flash-qk8 attention kernel's share of the
 DiT stage drift.
@@ -270,7 +271,7 @@ def main():
                     help="force the CPU backend (the site plugin ignores "
                          "JAX_PLATFORMS env; tiny-preset tests use this)")
     ap.add_argument("--mode", required=True,
-                    choices=["bf16", "int8", "int8-dit", "int8-vae"])
+                    choices=["bf16", "int8", "int8-dit", "int8-vae", "int8w"])
     ap.add_argument("--weights", default="gaussian",
                     choices=["gaussian", "outlier"],
                     help="synthetic weight family (outlier = conservative "

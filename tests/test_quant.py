@@ -195,3 +195,61 @@ def test_pipeline_quantized_end_to_end():
     # case for per-tensor scales); the per-module tests above bound the
     # real quantization error — here just require the outputs correlate.
     assert float(np.abs(out - ref).mean()) < 0.15
+
+
+def test_int8w_weight_only_mode(tiny_models):
+    """int8w (W8A16): int8 STORAGE under kernel_w8, bf16 compute — the
+    int8-dit window budget (residency is what buys windows), NO qk8
+    attention, and drift bounded by per-channel weight rounding alone."""
+    from dove_tpu.models.dit import dit_forward
+    from dove_tpu.pipeline import DovePipeline
+
+    cfg, dit, vae = tiny_models
+    prompt = jnp.zeros((cfg.dit.max_text_seq_length, cfg.dit.text_embed_dim),
+                       jnp.float32)
+    common = dict(config=cfg, prompt_embedding=prompt, dtype=jnp.float32,
+                  vae_tiling=True, donate_weights=False)
+    pw = DovePipeline(dit_params=dit, vae_params=vae, quantize="int8w",
+                      **common)
+    q = pw.dit_params["blocks"]["attn1"]["to_q"]
+    assert "kernel_w8" in q and q["kernel_w8"].dtype == jnp.int8
+    assert "kernel_q" not in q
+    assert pw.vae_params is vae
+    assert pw._dit_resident_int8 and not pw._dit_quantized
+    assert pw.attention_backend is None  # bf16 attention
+    assert pw._window_budget()[1] == (40, 38)  # int8-dit budget
+
+    # forward drift: strictly tighter than the W8A8 tree on the same input
+    from dove_tpu.ops.quant import quantize_dit
+
+    z = jax.random.normal(jax.random.PRNGKey(3),
+                          (1, 2, cfg.dit.in_channels, 8, 8), jnp.float32)
+    text = jax.random.normal(
+        jax.random.PRNGKey(4),
+        (1, cfg.dit.max_text_seq_length, cfg.dit.text_embed_dim), jnp.float32)
+    t = jnp.asarray([399], jnp.int32)
+    ref = dit_forward(dit, cfg.dit, z, text, t)
+    w8 = dit_forward(pw.dit_params, cfg.dit, z, text, t)
+    a8 = dit_forward(quantize_dit(dit, donate=False), cfg.dit, z, text, t)
+    err_w8 = float(jnp.abs(w8 - ref).mean())
+    err_a8 = float(jnp.abs(a8 - ref).mean())
+    assert err_w8 < err_a8, (err_w8, err_a8)
+    assert err_w8 < 0.02
+
+
+def test_int8w_end_to_end(tiny_models):
+    from dove_tpu.pipeline import DovePipeline
+
+    cfg, dit, vae = tiny_models
+    prompt = jnp.zeros((cfg.dit.max_text_seq_length, cfg.dit.text_embed_dim),
+                       jnp.float32)
+    frames = np.random.default_rng(0).random((5, 16, 16, 3)).astype(np.float32)
+    common = dict(config=cfg, prompt_embedding=prompt, dtype=jnp.float32,
+                  vae_tiling=True, donate_input=False, sample_posterior=False,
+                  donate_weights=False)
+    ref = DovePipeline(dit_params=dit, vae_params=vae,
+                       **common).process_frames(frames)
+    out = DovePipeline(dit_params=dit, vae_params=vae, quantize="int8w",
+                       **common).process_frames(frames)
+    assert out.shape == ref.shape and np.isfinite(out).all()
+    assert float(np.abs(out - ref).mean()) < 0.02  # ~weight rounding only
