@@ -132,7 +132,7 @@ def main():
     ap.add_argument("--profile", type=str, default=None,
                     help="write a jax.profiler trace to this directory")
     ap.add_argument("--quantize", type=str, default="int8",
-                    choices=["int8", "int8-dit", "int8-vae", "int8w", "none"],
+                    choices=["int8", "int8-dit", "int8-vae", "int8w", "int8-dit-dec", "none"],
                     help="serving mode to bench. Default int8 (the "
                          "production serving config: per-channel int8 "
                          "weights, dynamic int8 activations, MXU int32 "

@@ -193,15 +193,25 @@ def quantize_dit(params: Params, donate: bool = True,
     return {**params, "blocks": new_blocks}
 
 
-def quantize_vae(params: Params, donate: bool = True) -> Params:
-    """Quantize the VAE's hot conv kernels (encoder + decoder).
+def quantize_vae(params: Params, donate: bool = True,
+                 which: str = "all") -> Params:
+    """Quantize the VAE's hot conv kernels.
 
     Policy: a conv quantizes only when it is both FLOP-heavy and robust —
     spatial kernel >= 3x3 and >= 64 channels on BOTH sides. This keeps
     conv_in (3->C), conv_out (C->3), the 1x1x1 spatial-norm modulation convs
     (latent->C), and shortcut projections in bf16: together < 2% of the
     FLOPs but the most accuracy-sensitive layers.
+
+    which: "all" | "decoder" | "encoder". "decoder" is the int8-dit-dec
+    serving mode's half: encoder moments feed the DiT, so ENCODER
+    quantization error compounds through the whole pipeline (measured: the
+    full-int8 mode's 30 dB drift is encoder-dominated, while DiT-only
+    drift is 49 dB — docs/reports/QUANT_FRONTIER.md); the decoder's error
+    stays local to pixels.
     """
+    if which not in ("all", "decoder", "encoder"):
+        raise ValueError(f"which={which!r}")
 
     def should_quantize(w) -> bool:
         if getattr(w, "ndim", 0) not in (4, 5):
@@ -219,4 +229,6 @@ def quantize_vae(params: Params, donate: bool = True) -> Params:
             return [walk(v) for v in node]
         return node
 
-    return walk(params)
+    if which == "all":
+        return walk(params)
+    return {k: (walk(v) if k == which else v) for k, v in params.items()}

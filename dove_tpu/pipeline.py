@@ -138,6 +138,11 @@ class DovePipeline:
     #                resident DiT (same window budget as int8-dit) but the
     #                matmuls dequantize into bf16 — activations exact, the
     #                only drift is per-channel weight rounding
+    #   "int8-dit-dec" — int8 DiT + int8 VAE DECODER; the encoder stays
+    #                bf16 (its drift feeds the DiT and dominates the full
+    #                int8 mode's quality cost, while decoder error stays
+    #                local) — the decode stage gets the big int8 window
+    #                budget
     # The mixed modes are drift/speed frontier points (docs/reports/
     # QUANT_FRONTIER.md); the bf16 path remains the bit-parity reference.
     quantize: str | None = None
@@ -216,7 +221,8 @@ class DovePipeline:
         self.schedule = Schedule.create(self.config.scheduler)
         self._compiled: dict[tuple, Callable] = {}
         self._staged: dict[str, Callable] = {}
-        if self.quantize in ("int8", "int8-dit", "int8-vae", "int8w"):
+        if self.quantize in ("int8", "int8-dit", "int8-vae", "int8w",
+                             "int8-dit-dec"):
             from dove_tpu.ops.quant import quantize_dit, quantize_vae
 
             if self._dit_resident_int8:
@@ -227,6 +233,11 @@ class DovePipeline:
             if self._vae_quantized:
                 self.vae_params = quantize_vae(
                     self.vae_params, donate=self.donate_weights
+                )
+            elif self._vae_decoder_quantized:
+                self.vae_params = quantize_vae(
+                    self.vae_params, donate=self.donate_weights,
+                    which="decoder",
                 )
         elif self.quantize:
             raise ValueError(f"unknown quantize mode: {self.quantize}")
@@ -256,17 +267,21 @@ class DovePipeline:
     @property
     def _dit_quantized(self) -> bool:
         """W8A8 compute: int8 activations + the flash-qk8 attention."""
-        return self.quantize in ("int8", "int8-dit")
+        return self.quantize in ("int8", "int8-dit", "int8-dit-dec")
 
     @property
     def _dit_resident_int8(self) -> bool:
         """DiT weights STORED int8 (residency halved -> bigger VAE window
         budget, streaming caches fit) — includes the W8A16 int8w mode."""
-        return self.quantize in ("int8", "int8-dit", "int8w")
+        return self.quantize in ("int8", "int8-dit", "int8w", "int8-dit-dec")
 
     @property
     def _vae_quantized(self) -> bool:
         return self.quantize in ("int8", "int8-vae")
+
+    @property
+    def _vae_decoder_quantized(self) -> bool:
+        return self.quantize in ("int8", "int8-vae", "int8-dit-dec")
 
     # ------------------------------------------------------------------
     # Device-side one-step SR for a single tile
@@ -562,6 +577,10 @@ class DovePipeline:
         """
         if self._dit_quantized and self._vae_quantized:
             budget = 2, (46, 42), (46, 42)
+        elif self.quantize == "int8-dit-dec":
+            # int8 decoder temps allow the full int8 DECODE budget; the
+            # bf16 encoder keeps the int8-dit encode budget
+            budget = 2, (40, 38), (46, 42)
         elif self._dit_resident_int8:
             # int8-dit: the halved resident DiT buys bigger-than-bf16
             # windows, but NOT the full int8 budget — the bf16 VAE's decode

@@ -80,7 +80,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tile_batch", type=int, default=1,
                    help="batch same-geometry tiles through one device call")
     p.add_argument("--quantize", type=str, default=None,
-                   choices=["int8", "int8-dit", "int8-vae", "int8w"],
+                   choices=["int8", "int8-dit", "int8-vae", "int8w", "int8-dit-dec"],
                    help="int8 serving modes: per-channel int8 weights + "
                         "dynamic int8 activations. 'int8' quantizes DiT+VAE "
                         "(fastest); 'int8-dit'/'int8-vae' quantize one "

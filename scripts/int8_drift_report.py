@@ -271,7 +271,7 @@ def main():
                     help="force the CPU backend (the site plugin ignores "
                          "JAX_PLATFORMS env; tiny-preset tests use this)")
     ap.add_argument("--mode", required=True,
-                    choices=["bf16", "int8", "int8-dit", "int8-vae", "int8w"])
+                    choices=["bf16", "int8", "int8-dit", "int8-vae", "int8w", "int8-dit-dec"])
     ap.add_argument("--weights", default="gaussian",
                     choices=["gaussian", "outlier"],
                     help="synthetic weight family (outlier = conservative "

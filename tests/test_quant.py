@@ -253,3 +253,49 @@ def test_int8w_end_to_end(tiny_models):
                        **common).process_frames(frames)
     assert out.shape == ref.shape and np.isfinite(out).all()
     assert float(np.abs(out - ref).mean()) < 0.02  # ~weight rounding only
+
+
+def test_int8_dit_dec_mode(tiny_models):
+    """int8-dit-dec: W8A8 DiT + int8 VAE DECODER only — the encoder (whose
+    drift feeds the whole pipeline) stays bf16; the decode stage gets the
+    full int8 window budget."""
+    from dove_tpu.pipeline import DovePipeline
+
+    cfg, dit, vae = tiny_models
+    prompt = jnp.zeros((cfg.dit.max_text_seq_length, cfg.dit.text_embed_dim),
+                       jnp.float32)
+    p = DovePipeline(config=cfg, dit_params=dit, vae_params=vae,
+                     prompt_embedding=prompt, dtype=jnp.float32,
+                     vae_tiling=True, donate_weights=False,
+                     quantize="int8-dit-dec")
+    assert p._dit_quantized and p._dit_resident_int8
+    assert not p._vae_quantized and p._vae_decoder_quantized
+    assert "kernel_q" in p.dit_params["blocks"]["attn1"]["to_q"]
+    # encoder untouched, decoder walked (tiny config has no >=64ch convs so
+    # nothing actually quantizes there — layout equality is the check)
+    assert p.vae_params["encoder"] is vae["encoder"]
+    assert p._window_budget() == (2, (40, 38), (46, 42))
+
+
+def test_quantize_vae_which_selector(tiny_models):
+    from dove_tpu.ops.quant import quantize_vae
+
+    cfg, _, vae = tiny_models
+    # widen one decoder conv so the policy actually quantizes something
+    import jax
+
+    big = jax.random.normal(jax.random.PRNGKey(9), (3, 3, 3, 64, 64),
+                            jnp.float32)
+    vae = dict(vae)
+    vae["decoder"] = dict(vae["decoder"])
+    vae["decoder"]["conv_in"] = {"kernel": big}
+    vae["encoder"] = dict(vae["encoder"])
+    vae["encoder"]["conv_out"] = {"kernel": big}
+    dec_only = quantize_vae(vae, donate=False, which="decoder")
+    assert "kernel_q" in dec_only["decoder"]["conv_in"]
+    assert "kernel" in dec_only["encoder"]["conv_out"]  # untouched
+    enc_only = quantize_vae(vae, donate=False, which="encoder")
+    assert "kernel" in enc_only["decoder"]["conv_in"]
+    assert "kernel_q" in enc_only["encoder"]["conv_out"]
+    with pytest.raises(ValueError):
+        quantize_vae(vae, which="nope")
