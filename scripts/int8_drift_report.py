@@ -78,10 +78,28 @@ def _outlier_leaf(key, shape, fan_in: float, dtype):
     quantization pays for (script header, weights family rationale).
     """
     kt, kg = jax.random.split(key)
-    # generate at the target dtype: a 5B stacked-MLP leaf is 6.2 GB in fp32
-    # temps; bf16 generation halves the RNG output buffer (same rationale as
-    # the gaussian path below)
-    t = jax.random.t(kt, df=4.0, shape=shape, dtype=dtype)
+
+    # Student-t(4) synthesized as Z / sqrt(chi2_4 / 4) with
+    # chi2_4 = -2 ln(U1 U2) (sum of two Exp(2) draws). jax.random.t's
+    # rejection-sampling gamma kernel CRASHES the remote TPU compiler at
+    # 5B stacked-leaf shapes (HTTP 500 from tpu_compile_helper, measured);
+    # this closed form compiles to elementwise ops. Stacked [L, in, out]
+    # leaves generate per layer under lax.map so the 3 RNG temp buffers
+    # stay at one layer's footprint (a direct 3.2 GB bf16 leaf would need
+    # ~16 GB of uniform/normal temps).
+    def t4(k, s):
+        kz, k1, k2 = jax.random.split(k, 3)
+        z = jax.random.normal(kz, s, dtype)
+        u1 = jax.random.uniform(k1, s, jnp.float32, 1e-7, 1.0)
+        u2 = jax.random.uniform(k2, s, jnp.float32, 1e-7, 1.0)
+        inv = jax.lax.rsqrt(-0.5 * (jnp.log(u1) + jnp.log(u2)))
+        return z * inv.astype(dtype)
+
+    if len(shape) >= 3:
+        t = jax.lax.map(lambda k: t4(k, shape[1:]),
+                        jax.random.split(kt, shape[0]))
+    else:
+        t = t4(kt, shape)
     t = t * jnp.asarray((fan_in * 2.0) ** -0.5, dtype)
     gains = jnp.exp(0.6 * jax.random.normal(kg, (shape[-1],), jnp.float32))
     gains = (gains / jnp.sqrt(jnp.mean(gains**2))).astype(dtype)
