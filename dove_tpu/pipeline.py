@@ -1142,13 +1142,27 @@ class DovePipeline:
         out = np.empty(
             (F, Hp * 3 // 2, Wp) if i420 else (F, Hp, Wp, 3), np.uint8
         )
+        # Two-slot assembly/pull pipeline: dispatch segment si+1's feather
+        # assembly BEFORE pulling segment si, so the host-link transfer of
+        # si overlaps si+1's assembly compute (the pull blocks only until
+        # si's program is done; the TPU runtime DMAs while si+1 executes).
+        # Peak memory is unchanged — every segment's pixel windows are
+        # already alive at the end of the decode loop above, and assembly
+        # temps never coexist (programs run serially).
+        pending = None
         for si, (s0, e0) in enumerate(segs):
             u8 = fns["asm_dec"](
                 tuple(px[si]), dnr, dnc, lat_h * sscale, lat_w * sscale,
                 len(dec_coords),
             )
-            out[s0:e0] = self._parallel_get(u8)[0]
-            px[si] = None  # free the segment's pixel windows
+            if pending is not None:
+                psi, ps0, pe0, pu8 = pending
+                out[ps0:pe0] = self._parallel_get(pu8)[0]
+                px[psi] = None  # free the segment's pixel windows
+            pending = (si, s0, e0, u8)
+        psi, ps0, pe0, pu8 = pending
+        out[ps0:pe0] = self._parallel_get(pu8)[0]
+        px[psi] = None
         t3 = time.time()
         self.stage_times["dec"] = self.stage_times.get("dec", 0.0) + (t3 - t2)
         if timing:
@@ -1158,11 +1172,20 @@ class DovePipeline:
             )
         return out
 
-    def _sr_clip_staged(self, clip: np.ndarray, rng: jax.Array) -> np.ndarray:
+    def _sr_clip_staged(
+        self, clip: np.ndarray, rng: jax.Array, *, return_device: bool = False
+    ) -> np.ndarray:
         """One temporal chunk with on-device x4 upscale + internal VAE tiling.
 
         clip: [F, H, W, 3] np float32 in [-1, 1] at LQ resolution (the x4
-        upscale runs inside enc_all). Returns [F, H*u, W*u, 3] in [0, 1]."""
+        upscale runs inside enc_all). Returns [F, H*u, W*u, 3] in [0, 1].
+
+        return_device=True returns the READY on-device uint8 clip instead of
+        pulling it: the multi-chunk loop pulls it on a background thread so
+        chunk k's host pull (the serial term on a relay-attached chip, ~0.7 s
+        per 33-frame 720p chunk at the measured 63 MB/s) overlaps chunk
+        k+1's device programs — the single-chip analog of the mesh path's
+        pull/dispatch overlap below."""
         import os
 
         timing = bool(os.environ.get("DOVE_STAGE_TIMING"))
@@ -1202,6 +1225,15 @@ class DovePipeline:
             print(f"stage dit: {t2 - t1:.2f}s", flush=True)
 
         dec = fns["dec_all"](self.vae_params, z)
+        if return_device:
+            # barrier so the caller's background pull measures TRANSFER
+            # only, and so the device timing here stays honest
+            self._barrier(dec)
+            t3 = time.time()
+            self.stage_times["dec"] = self.stage_times.get("dec", 0.0) + (t3 - t2)
+            if timing:
+                print(f"stage dec/device: {t3 - t2:.2f}s", flush=True)
+            return dec
         if os.environ.get("DOVE_STAGE_TIMING") == "2":
             # split decode into device time vs host-pull time (the barrier
             # is one scalar pull — free)
@@ -1579,9 +1611,36 @@ class DovePipeline:
             if self.output_uint8:
                 def seq_chunks():
                     nonlocal rng
-                    for ts, te in chunks:
-                        rng, step_rng = jax.random.split(rng)
-                        yield (ts, te), chunk_out(ts, te, step_rng)
+                    # Single-chip pull/dispatch overlap (mesh_chunks'
+                    # pattern): chunk k's uint8 output is READY when
+                    # _sr_clip_staged(return_device=True) returns (stage
+                    # barrier), so the background pull is pure host-link
+                    # transfer and overlaps chunk k+1's device programs.
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    def pull(dev, nf):
+                        t0 = time.time()
+                        out = self._parallel_get(dev)[0][:nf]
+                        # only this thread writes the "pull" key
+                        self.stage_times["pull"] = (
+                            self.stage_times.get("pull", 0.0)
+                            + (time.time() - t0)
+                        )
+                        return out
+
+                    pending = None
+                    with ThreadPoolExecutor(1) as pull_pool:
+                        for ts, te in chunks:
+                            rng, step_rng = jax.random.split(rng)
+                            data, nf = chunk_data(ts, te)
+                            dev = self._sr_clip_staged(
+                                data, step_rng, return_device=True
+                            )
+                            fut = pull_pool.submit(pull, dev, nf)
+                            if pending is not None:
+                                yield pending[0], pending[1].result()
+                            pending = ((ts, te), fut)
+                        yield pending[0], pending[1].result()
 
                 return assemble_uint8(seq_chunks())
 

@@ -65,6 +65,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Opt-in persistent compilation cache, same contract as bench.py: the sweep
+# runs one process per mode (HBM: bf16 + int8 trees cannot co-reside), so
+# without this every process pays the full 5B compile again.
+import os as _os
+
+if _os.environ.get("DOVE_JAX_CACHE"):
+    jax.config.update("jax_compilation_cache_dir", _os.environ["DOVE_JAX_CACHE"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def _outlier_leaf(key, shape, fan_in: float, dtype):
     """Heavy-tailed entries x per-output-channel gains, unit total variance.
