@@ -29,6 +29,7 @@ kernels are stored DHWIO.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any
 
 import jax
@@ -38,6 +39,33 @@ from dove_tpu.config import VAEConfig
 
 Params = dict[str, Any]
 Cache = dict[str, jnp.ndarray]
+
+# Serving-only switch for the hand-scheduled Pallas bf16 3x3x3 conv
+# (ops/pallas/conv3d_int8.conv3d_bf16). Read at TRACE time by
+# causal_conv3d; OFF by default because pallas_call has no autodiff rule —
+# the stage-2 trainer differentiates through decode, so only the inference
+# pipeline flips it on (DovePipeline.__init__, TPU + unquantized VAE), and
+# only where the kernel wins (see scripts/bench_conv.py pallas-bf16 row).
+# Env override DOVE_PALLAS_CONV=0/1 forces it for A/B benches.
+_PALLAS_BF16_CONV = False
+
+
+def set_pallas_conv(enabled: bool) -> None:
+    """Enable the Pallas bf16 conv schedule for subsequent traces.
+
+    Process-global: a Trainer built AFTER a TPU serving pipeline in the
+    same process should call set_pallas_conv(False) before building its
+    train step (decode-with-grad cannot differentiate the Pallas call).
+    """
+    global _PALLAS_BF16_CONV
+    _PALLAS_BF16_CONV = enabled
+
+
+def _pallas_conv_enabled() -> bool:
+    env = os.environ.get("DOVE_PALLAS_CONV")
+    if env is not None:
+        return env not in ("0", "off", "false")
+    return _PALLAS_BF16_CONV
 
 
 # ---------------------------------------------------------------------------
@@ -55,9 +83,11 @@ def _conv2d(p: Params, x: jnp.ndarray, strides=(1, 1), padding="VALID") -> jnp.n
         pad3 = padding if isinstance(padding, str) else (
             ((0, 0),) + tuple(padding)
         )
+        p3 = {**p, "kernel_q": p["kernel_q"][None]}
+        if "kernel_ksum" in p:
+            p3["kernel_ksum"] = p["kernel_ksum"][None]
         y = qconv(
-            {**p, "kernel_q": p["kernel_q"][None]},
-            x, (1,) + tuple(strides), pad3,
+            p3, x, (1,) + tuple(strides), pad3,
             ("NDHWC", "DHWIO", "NDHWC"),
         )
         return y
@@ -120,29 +150,78 @@ def causal_conv3d(
 
     def run_conv(xs, kernel):
         if quantized:
-            from dove_tpu.ops.quant import dynamic_quant
+            from dove_tpu.ops.quant import (
+                dynamic_quant, dynamic_quant_asym, ksum_correction,
+            )
 
-            xs_q, s_x = dynamic_quant(xs)
+            if "kernel_ksum" in p:  # asymmetric activations (quant.py)
+                xs_q, s_x, m_x = dynamic_quant_asym(xs)
+            else:
+                xs_q, s_x = dynamic_quant(xs)
+                m_x = None
             acc = conv2d_raw(xs_q, kernel, jnp.int32)
-            return acc.astype(jnp.float32) * (s_x * p["kernel_scale"])
+            y = acc.astype(jnp.float32) * (s_x * p["kernel_scale"])
+            if m_x is not None:
+                ks = p["kernel_ksum"]
+                corr = ksum_correction(
+                    {"kernel_ksum": ks[0] if ks.ndim == 5 else ks},
+                    xs.shape[:-1] + (1,), (1, 1), pad,
+                    ("NHWC", "HWIO", "NHWC"), jnp.float32,
+                )
+                y = y + (m_x * p["kernel_scale"]) * corr
+            return y
         return conv2d_raw(xs, kernel.astype(x.dtype))
 
     if quantized and kt > 1:
         # int8 path uses the DIRECT 3D lowering: measured on this chip, XLA's
         # int8 MXU mode engages for NDHWC 3D convs (74 -> 98 TOP/s) but NOT
         # for the tap-stacked 2D lowering (35 -> 34); bf16 keeps stacked-2D.
-        from dove_tpu.ops.quant import dynamic_quant
+        from dove_tpu.ops.quant import (
+            dynamic_quant, dynamic_quant_asym, ksum_correction,
+        )
 
-        x_q, s_x = dynamic_quant(x)
+        pad3 = ((0, 0), (pad_h, pad_h), (pad_w, pad_w))
+        if "kernel_ksum" in p:  # asymmetric activations (quant.py)
+            x_q, s_x, m_x = dynamic_quant_asym(x)
+        else:
+            x_q, s_x = dynamic_quant(x)
+            m_x = None
         acc = jax.lax.conv_general_dilated(
-            x_q, kernel_leaf, (1, 1, 1),
-            ((0, 0), (pad_h, pad_h), (pad_w, pad_w)),
+            x_q, kernel_leaf, (1, 1, 1), pad3,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
             preferred_element_type=jnp.int32,
         )
         y = acc.astype(jnp.float32) * (s_x * p["kernel_scale"])
+        if m_x is not None:
+            corr = ksum_correction(
+                p, x.shape[:-1] + (1,), (1, 1, 1), pad3,
+                ("NDHWC", "DHWIO", "NDHWC"), jnp.float32,
+            )
+            y = y + (m_x * p["kernel_scale"]) * corr
         if "bias" in p:
             y = y + p["bias"].astype(jnp.float32)
+        return y.astype(x.dtype), new_cache
+
+    if (
+        not quantized
+        and kt == 3 and kh == 3 and kw == 3
+        and C % 128 == 0 and kernel_leaf.shape[-1] % 128 == 0
+        and _pallas_conv_enabled()
+    ):
+        # Hand-scheduled 27-tap-matmul Pallas kernel (serving only, see
+        # set_pallas_conv). Spatial same-padding happens here (the kernel
+        # computes VALID); temporal padding is the cache concat above.
+        from dove_tpu.ops.pallas.conv3d_int8 import conv3d_bf16
+
+        xp = jnp.pad(
+            x, ((0, 0), (0, 0), (pad_h, pad_h), (pad_w, pad_w), (0, 0))
+        )
+        kb = kernel_leaf.astype(jnp.bfloat16)
+        y = jnp.stack(
+            [conv3d_bf16(xp[b], kb, out_dtype=x.dtype) for b in range(B)]
+        )
+        if "bias" in p:
+            y = y + p["bias"].astype(y.dtype)
         return y.astype(x.dtype), new_cache
 
     if kt == 1:

@@ -35,6 +35,75 @@ def test_dynamic_quant_preserves_scale():
     assert rel < 1.0 / 127.0
 
 
+def test_asym_fold_is_exact():
+    """The asymmetric activation scheme's zero-point folds back EXACTLY
+    through the cin=1 correction conv: qconv(quantized operands) equals the
+    fp32 conv of the dequantized operands (s*x_q + m inside the image, 0 in
+    the padding) to fp32 rounding — the offset is algebra, not an
+    approximation."""
+    from dove_tpu.ops.quant import (
+        _quantize_leaf_dict, dynamic_quant_asym, qconv,
+    )
+
+    rng = np.random.default_rng(0)
+    # SiLU-like skew: bounded below at -0.278, long positive tail
+    x = jnp.asarray(
+        np.maximum(rng.normal(1.0, 2.0, (1, 5, 12, 12, 32)), -0.278),
+        jnp.float32,
+    )
+    w = jnp.asarray(rng.normal(0, 0.05, (3, 3, 3, 32, 16)), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 0.1, (16,)), jnp.float32)
+    p = _quantize_leaf_dict(
+        {"kernel": w, "bias": b}, donate=False, with_ksum=True
+    )
+    pad = ((1, 1), (1, 1), (1, 1))
+    dims = ("NDHWC", "DHWIO", "NDHWC")
+    y_q = qconv(p, x, (1, 1, 1), pad, dims)
+
+    x_q, s, m = dynamic_quant_asym(x)
+    x_deq = s * x_q.astype(jnp.float32) + m
+    w_deq = p["kernel_q"].astype(jnp.float32) * p["kernel_scale"]
+    y_ref = jax.lax.conv_general_dilated(
+        x_deq, w_deq, (1, 1, 1), pad, dimension_numbers=dims
+    ) + b
+    rel = float(jnp.abs(y_q - y_ref).max() / jnp.abs(y_ref).max())
+    assert rel < 5e-6, rel
+
+
+def test_asym_beats_symmetric_on_skewed_activations():
+    """On SiLU-shaped conv inputs the asymmetric grid (range/254 step)
+    must beat the symmetric one (2*amax/254) through causal_conv3d —
+    both the kt=1 2D route and the kt=3 direct-3D route."""
+    from dove_tpu.models.vae import causal_conv3d
+    from dove_tpu.ops.quant import _quantize_leaf_dict
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(
+        np.maximum(rng.normal(1.0, 2.0, (1, 5, 12, 12, 32)), -0.278),
+        jnp.float32,
+    )
+    for kt in (3, 1):
+        raw = {
+            "kernel": jnp.asarray(
+                rng.normal(0, 0.05, (kt, 3, 3, 32, 16)), jnp.float32
+            )
+        }
+        y_true, _ = causal_conv3d(raw, x, None)
+
+        def snr(p):
+            y, _ = causal_conv3d(p, x, None)
+            e = jnp.mean(jnp.square(y - y_true))
+            return float(
+                10 * jnp.log10(jnp.mean(jnp.square(y_true)) / e)
+            )
+
+        snr_sym = snr(_quantize_leaf_dict(raw, donate=False))
+        snr_asym = snr(
+            _quantize_leaf_dict(raw, donate=False, with_ksum=True)
+        )
+        assert snr_asym > snr_sym + 1.0, (kt, snr_sym, snr_asym)
+
+
 def test_qlinear_per_row_scales_ignore_outlier_tokens():
     """One huge-magnitude token must not degrade the OTHER tokens' precision
     (the per-tensor scheme's failure mode; qlinear quantizes per row)."""
