@@ -57,22 +57,22 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def _kernel(
-    w_ref,  # [27, Cin, 128] int8 (VMEM, cout block)
+    w_ref,  # [27, Cin, 128] int8/bf16 (VMEM, cout block)
     scale_ref,  # [1, 128] f32 (VMEM, sx*sk for this cout block)
-    x_ref,  # [F, Hpad, W32, Cin] int8 (ANY/HBM)
-    out_ref,  # [Fo, nh*TH, Wo, Cout] (ANY/HBM)
-    x_s,  # scratch [RING, ncin, TH+2, W32, LANE] int8
+    x_ref,  # [F, Hpad, W32, Cin] int8/bf16 (ANY/HBM)
+    out_ref,  # [Fo, nh*TH, W32, Cout] (ANY/HBM; garbage columns >= Wo)
+    x_s,  # scratch [RING, ncin, TH+2, W32, LANE] int8/bf16
     out_s,  # scratch [2, TH, W32, LANE] out dtype
-    acc_s,  # scratch [3, TH*W32, LANE] int32 (one per dw tap)
+    acc_s,  # scratch [3, TH*W32, LANE] int32/f32 (one per dw tap)
     in_sems,  # DMA semaphores [RING, ncin]
     out_sems,  # DMA semaphores [2]
     *,
     TH: int,
-    Wo: int,
     W32: int,
     ncin: int,
     nh: int,
     Fo: int,
+    acc_dtype=jnp.int32,
 ):
     co = pl.program_id(0)
     F = Fo + 2
@@ -92,10 +92,13 @@ def _kernel(
         ]
 
     def out_dma(slot, step):
+        # store the FULL padded width: slicing out_s to :Wo would need
+        # Wo % 8 == 0 (Mosaic sublane tiling) which decode/encode tile
+        # widths don't guarantee — the wrapper crops the garbage columns
         f = step % Fo
         row0 = (step // Fo) * TH
         return pltpu.make_async_copy(
-            out_s.at[slot, :, :Wo, :],
+            out_s.at[slot],
             out_ref.at[f, pl.ds(row0, TH), :, pl.ds(co * LANE, LANE)],
             out_sems.at[slot],
         )
@@ -141,7 +144,7 @@ def _kernel(
                                   ci * LANE : (ci + 1) * LANE, :]
                         p = jax.lax.dot_general(
                             a, w, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.int32,
+                            preferred_element_type=acc_dtype,
                         )
                         if first:
                             acc_s[dw] = p
@@ -214,7 +217,8 @@ def conv3d_w8a8(
 
     out = pl.pallas_call(
         functools.partial(
-            _kernel, TH=TH, Wo=Wo, W32=W32, ncin=ncin, nh=nh, Fo=Fo
+            _kernel, TH=TH, W32=W32, ncin=ncin, nh=nh, Fo=Fo,
+            acc_dtype=jnp.int32,
         ),
         grid=(ncout,),
         in_specs=[
@@ -228,7 +232,7 @@ def conv3d_w8a8(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((Fo, nh * TH, Wo, Cout), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((Fo, nh * TH, W32, Cout), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((RING, ncin, TH + 2, W32, LANE), jnp.int8),
             pltpu.VMEM((2, TH, W32, LANE), out_dtype),
@@ -237,4 +241,83 @@ def conv3d_w8a8(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )(w_flat, scale, x_q)
-    return out[:, :Ho]
+    return out[:, :Ho, :Wo]
+
+
+SUB_BF16 = 16  # bf16 sublane tile
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "row_block"))
+def conv3d_bf16(
+    x: jnp.ndarray,  # [F, Hp, Wp, Cin] bf16; F = Fo + 2 (causal cache frames
+    #                  prepended by the caller), Hp = Ho + 2, Wp = Wo + 2
+    w: jnp.ndarray,  # [3, 3, 3, Cin, Cout] bf16
+    out_dtype=jnp.bfloat16,
+    row_block: int | None = None,
+):
+    """VALID 3x3x3 bf16 conv of a pre-padded input -> [Fo, Ho, Wo, Cout].
+
+    Same 27-tap-matmul schedule as conv3d_w8a8 with bf16 operands and fp32
+    accumulators (the dw-alignment rotates stay 32-bit).
+
+    MEASURED OUTCOME (2026-08-19, scripts/bench_conv.py at the decode
+    window shape [10,368,336,128]): 78.5 TOP/s — SLOWER than XLA's
+    tap-stacked 2D lowering (90.8). At C=128 each tap dot is a K=128
+    contraction; 27 of them round-trip the fp32 accumulators through VMEM
+    where XLA's emitter K-folds the taps inside the MXU loop. The kernel
+    is kept (correctness-tested, serving wiring behind
+    vae.set_pallas_conv / DOVE_PALLAS_CONV=1) as the measured baseline for
+    future hand schedules, NOT as the default serving path — the honest
+    conclusion is that XLA's bf16 conv emitter wins at these shapes.
+    """
+    F, Hp, Wp, Cin = x.shape
+    Cout = w.shape[-1]
+    assert Cin % LANE == 0 and Cout % LANE == 0, (Cin, Cout)
+    assert w.shape[:3] == (3, 3, 3)
+    assert F >= 3, (
+        f"F={F}: input must include the 2 causal cache frames (F = Fo + 2)"
+    )
+    Fo, Ho, Wo = F - 2, Hp - 2, Wp - 2
+    ncin, ncout = Cin // LANE, Cout // LANE
+    W16 = _cdiv(Wp, SUB_BF16) * SUB_BF16
+
+    if row_block is None:
+        # VMEM budget ~11 MB: bf16 ring (2 B), f32 accumulators, bf16 out
+        per_row = (RING * ncin * 2 + 3 * 4 + 2 * 2) * W16 * LANE
+        row_block = max(2, min(16, (11 << 20) // per_row - 2))
+    TH = min(row_block, Ho)
+    nh = _cdiv(Ho, TH)
+
+    pad_rows = max(nh * TH + 2 - Hp, 0)
+    x = jnp.pad(x, ((0, 0), (0, pad_rows), (0, W16 - Wp), (0, 0)))
+
+    w_flat = w.astype(jnp.bfloat16).reshape(27, Cin, Cout)
+    scale = jnp.ones((1, Cout), jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, TH=TH, W32=W16, ncin=ncin, nh=nh, Fo=Fo,
+            acc_dtype=jnp.float32,
+        ),
+        grid=(ncout,),
+        in_specs=[
+            pl.BlockSpec(
+                (27, Cin, LANE), lambda co: (0, 0, co),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, LANE), lambda co: (0, co), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((Fo, nh * TH, W16, Cout), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((RING, ncin, TH + 2, W16, LANE), jnp.bfloat16),
+            pltpu.VMEM((2, TH, W16, LANE), out_dtype),
+            pltpu.VMEM((3, TH * W16, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((RING, ncin)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(w_flat, scale, x.astype(jnp.bfloat16))
+    return out[:, :Ho, :Wo]

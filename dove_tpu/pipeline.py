@@ -255,6 +255,12 @@ class DovePipeline:
                     self.attention_backend = "flash-qk8"
             except Exception:  # pragma: no cover
                 pass
+        # NOTE: the hand-scheduled Pallas bf16 conv (models/vae.py:
+        # set_pallas_conv) is NOT auto-enabled: measured SLOWER than XLA's
+        # stacked-2D lowering at the decode-dominant C=128 window shape
+        # (78.5 vs 90.8 TOP/s, scripts/bench_conv.py 2026-08-19). It stays
+        # available (DOVE_PALLAS_CONV=1) as the baseline for future hand
+        # schedules; the serving paths keep XLA's lowerings.
         # Per-clip stage wall times (staged path), accumulated across chunks;
         # reset at each process_frames call. The inter-stage barriers make
         # these accurate at zero extra cost.

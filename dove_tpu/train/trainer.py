@@ -723,6 +723,13 @@ class Trainer:
         # (single-process only: the serving path device_puts host arrays,
         # which needs every mesh device addressable)
         tp_mode = self._dit_fn is not None and jax.process_count() == 1
+        # DovePipeline flips the process-global Pallas-conv serving switch
+        # on TPU (models/vae.py:set_pallas_conv); a train-step retrace
+        # after validation must NOT pick it up (decode-with-grad cannot
+        # differentiate the Pallas call) — restore it when done.
+        from dove_tpu.models import vae as _vae_mod
+
+        _prior_pallas = _vae_mod._PALLAS_BF16_CONV
         pipe = DovePipeline(
             config=self.config,
             dit_params=self.effective_dit_params(self.trainable_params()),
@@ -751,29 +758,34 @@ class Trainer:
         clips = clips[jax.process_index()::jax.process_count()]
         from dove_tpu.eval.metrics import FULL_REFERENCE
 
-        for clip in clips:
-            frames = video_io.load_sequence(clip)
-            sr = pipe.process_frames(frames, mesh=serve_mesh)
-            artifact = out_dir / f"{clip.stem}.mp4"
-            video_io.save_video(sr, artifact, fps=args.gen_fps)
-            if self._wandb is not None:
-                # media record analog of the reference's wandb.Video
-                # validation logging (trainer.py:803-843)
-                self._wandb.log_video(f"validation/{clip.stem}", artifact, step)
-            ref = None
-            if ref_dir is not None and (ref_dir / clip.name).exists():
-                ref = video_io.load_sequence(ref_dir / clip.name)
-            for name, fn in metric_fns.items():
-                if name in FULL_REFERENCE:
-                    if ref is None:
-                        continue
-                    n = min(len(ref), len(sr))
-                    h = min(ref.shape[1], sr.shape[1])
-                    w = min(ref.shape[2], sr.shape[2])
-                    val = fn(sr[:n, :h, :w], ref[:n, :h, :w])
-                else:  # no-reference metrics score the SR clip alone
-                    val = fn(sr)
-                results[name].append(float(val))
+        try:
+            for clip in clips:
+                frames = video_io.load_sequence(clip)
+                sr = pipe.process_frames(frames, mesh=serve_mesh)
+                artifact = out_dir / f"{clip.stem}.mp4"
+                video_io.save_video(sr, artifact, fps=args.gen_fps)
+                if self._wandb is not None:
+                    # media record analog of the reference's wandb.Video
+                    # validation logging (trainer.py:803-843)
+                    self._wandb.log_video(
+                        f"validation/{clip.stem}", artifact, step
+                    )
+                ref = None
+                if ref_dir is not None and (ref_dir / clip.name).exists():
+                    ref = video_io.load_sequence(ref_dir / clip.name)
+                for name, fn in metric_fns.items():
+                    if name in FULL_REFERENCE:
+                        if ref is None:
+                            continue
+                        n = min(len(ref), len(sr))
+                        h = min(ref.shape[1], sr.shape[1])
+                        w = min(ref.shape[2], sr.shape[2])
+                        val = fn(sr[:n, :h, :w], ref[:n, :h, :w])
+                    else:  # no-reference metrics score the SR clip alone
+                        val = fn(sr)
+                    results[name].append(float(val))
+        finally:
+            _vae_mod.set_pallas_conv(_prior_pallas)
         # Multi-host: every process computed a different clip shard — combine
         # (sum, count) across hosts so the logged numbers cover the full set.
         # Fixed-shape collective over every REQUESTED metric name (not just

@@ -145,10 +145,22 @@ def main():
             h = jnp.pad(h, ((0, 0), (kt - 1, 0), (0, 0), (0, 0), (0, 0)))
         return h
 
+    from dove_tpu.ops.pallas.conv3d_int8 import conv3d_bf16
+
+    @jax.jit
+    def pallas_bf16(x):
+        h = x
+        for _ in range(N):
+            hp = jnp.pad(h[0], ((0, 0), (1, 1), (1, 1), (0, 0)))
+            h = conv3d_bf16(hp, k3, out_dtype=jnp.bfloat16)[None]
+            h = jnp.pad(h, ((0, 0), (kt - 1, 0), (0, 0), (0, 0), (0, 0)))
+        return h
+
     report("direct3d-int8", direct3d_int8, x)
     report("stacked-bf16", stacked_bf16, x)
     report("stacked-int8", stacked_int8, x)
     report("pallas-int8", pallas_int8, x)
+    report("pallas-bf16", pallas_bf16, x)
     del x
 
     # im2col-equivalent matmul: [M, K] x [K, C], K = kt*kh*kw*C. M is capped
