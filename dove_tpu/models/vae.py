@@ -68,13 +68,58 @@ def _pallas_conv_enabled() -> bool:
     return _PALLAS_BF16_CONV
 
 
+# --- activation calibration (int8 channel equalization) --------------------
+# While _CALIB is a dict, every named conv records the per-input-channel
+# amax of its activation into it AT TRACE TIME (the values are traced
+# arrays — calibrate_decode/calibrate_encode jit a wrapper that returns the
+# drained dict, so the stats come back as device arrays). quantize_vae
+# consumes them to fold a per-channel equalization into the weights
+# (ops/quant.py: SmoothQuant-style, exact in fp32). Keys are
+# "<scope>.<conv name>", where scope is set by encoder_/decoder_forward and
+# the names mirror the conv-cache keys ("up.0.res.1.conv1", ...).
+_CALIB: dict[str, jnp.ndarray] | None = None
+_CALIB_SCOPE = ""
+
+
+def _calib_tap(name: str | None, x: jnp.ndarray) -> None:
+    if _CALIB is None or name is None:
+        return
+    key = f"{_CALIB_SCOPE}.{name}"
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=tuple(range(x.ndim - 1)))
+    _CALIB[key] = (
+        jnp.maximum(_CALIB[key], amax) if key in _CALIB else amax
+    )
+
+
+def calibrate(fn, *args):
+    """Run ``fn(*args)`` once with calibration taps active; returns
+    (fn output, {name: per-channel amax}) with stats as device arrays.
+    Scopes ("encoder."/"decoder." key prefixes) are set by the forwards."""
+    global _CALIB
+
+    def run(*a):
+        global _CALIB
+        _CALIB = {}
+        try:
+            out = fn(*a)
+            return out, dict(_CALIB)
+        finally:
+            _CALIB = None
+
+    return jax.jit(run)(*args)
+
+
 # ---------------------------------------------------------------------------
 # Primitives
 # ---------------------------------------------------------------------------
 
-def _conv2d(p: Params, x: jnp.ndarray, strides=(1, 1), padding="VALID") -> jnp.ndarray:
+def _conv2d(
+    p: Params, x: jnp.ndarray, strides=(1, 1), padding="VALID",
+    name: str | None = None,
+) -> jnp.ndarray:
     """Per-frame 2D conv: x [B, F, H, W, C], kernel [kH, kW, Cin, Cout]."""
     B, F = x.shape[:2]
+    _calib_tap(name, x)
     if "kernel_q" in p:  # int8 serving mode (ops/quant.py)
         # run as a kt=1 3D conv: XLA's int8 MXU path engages for NDHWC 3D
         # convs but not the 2D lowering (measured; see causal_conv3d)
@@ -104,7 +149,8 @@ def _conv2d(p: Params, x: jnp.ndarray, strides=(1, 1), padding="VALID") -> jnp.n
 
 
 def causal_conv3d(
-    p: Params, x: jnp.ndarray, cache: jnp.ndarray | None
+    p: Params, x: jnp.ndarray, cache: jnp.ndarray | None,
+    name: str | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray | None]:
     """Causal 3D conv: temporal left-context from cache (or first-frame
     replicate at clip start), symmetric zero spatial padding.
@@ -117,6 +163,7 @@ def causal_conv3d(
     Returns (output, new_cache) where new_cache holds the trailing k_t-1
     input frames for the next chunk.
     """
+    _calib_tap(name, x)
     quantized = "kernel_q" in p
     kernel_leaf = p["kernel_q"] if quantized else p["kernel"]
     kt, kh, kw = kernel_leaf.shape[:3]
@@ -151,13 +198,15 @@ def causal_conv3d(
     def run_conv(xs, kernel):
         if quantized:
             from dove_tpu.ops.quant import (
-                dynamic_quant, dynamic_quant_asym, ksum_correction,
+                dynamic_quant, dynamic_quant_asym, equalize_input,
+                ksum_correction,
             )
 
+            xs_in = equalize_input(p, xs)
             if "kernel_ksum" in p:  # asymmetric activations (quant.py)
-                xs_q, s_x, m_x = dynamic_quant_asym(xs)
+                xs_q, s_x, m_x = dynamic_quant_asym(xs_in)
             else:
-                xs_q, s_x = dynamic_quant(xs)
+                xs_q, s_x = dynamic_quant(xs_in)
                 m_x = None
             acc = conv2d_raw(xs_q, kernel, jnp.int32)
             y = acc.astype(jnp.float32) * (s_x * p["kernel_scale"])
@@ -177,14 +226,16 @@ def causal_conv3d(
         # int8 MXU mode engages for NDHWC 3D convs (74 -> 98 TOP/s) but NOT
         # for the tap-stacked 2D lowering (35 -> 34); bf16 keeps stacked-2D.
         from dove_tpu.ops.quant import (
-            dynamic_quant, dynamic_quant_asym, ksum_correction,
+            dynamic_quant, dynamic_quant_asym, equalize_input,
+            ksum_correction,
         )
 
         pad3 = ((0, 0), (pad_h, pad_h), (pad_w, pad_w))
+        x_in = equalize_input(p, x)
         if "kernel_ksum" in p:  # asymmetric activations (quant.py)
-            x_q, s_x, m_x = dynamic_quant_asym(x)
+            x_q, s_x, m_x = dynamic_quant_asym(x_in)
         else:
-            x_q, s_x = dynamic_quant(x)
+            x_q, s_x = dynamic_quant(x_in)
             m_x = None
         acc = jax.lax.conv_general_dilated(
             x_q, kernel_leaf, (1, 1, 1), pad3,
@@ -344,18 +395,23 @@ def _resnet(
 
     h = jax.nn.silu(norm("norm1", x))
     h, new_cache[f"{path}.conv1"] = causal_conv3d(
-        p["conv1"], h, cache.get(f"{path}.conv1")
+        p["conv1"], h, cache.get(f"{path}.conv1"), name=f"{path}.conv1"
     )
     h = jax.nn.silu(norm("norm2", h))
     h, new_cache[f"{path}.conv2"] = causal_conv3d(
-        p["conv2"], h, cache.get(f"{path}.conv2")
+        p["conv2"], h, cache.get(f"{path}.conv2"), name=f"{path}.conv2"
     )
     if "conv_shortcut" in p:
-        x, _ = causal_conv3d(p["conv_shortcut"], x, None)
+        x, _ = causal_conv3d(
+            p["conv_shortcut"], x, None, name=f"{path}.conv_shortcut"
+        )
     return x + h
 
 
-def _downsample(p: Params, x: jnp.ndarray, compress_time: bool) -> jnp.ndarray:
+def _downsample(
+    p: Params, x: jnp.ndarray, compress_time: bool,
+    name: str | None = None,
+) -> jnp.ndarray:
     """Spatial stride-2 conv with (0,1) asymmetric pad; optional 2x temporal
     mean-pool with causal first-frame passthrough on odd lengths."""
     if compress_time:
@@ -369,11 +425,12 @@ def _downsample(p: Params, x: jnp.ndarray, compress_time: bool) -> jnp.ndarray:
             x = x.reshape(B, F // 2, 2, H, W, C).mean(axis=2)
     pad = ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0))
     x = jnp.pad(x, pad)
-    return _conv2d(p["conv"], x, strides=(2, 2))
+    return _conv2d(p["conv"], x, strides=(2, 2), name=name)
 
 
 def _upsample(
-    p: Params, x: jnp.ndarray, compress_time: bool, first: bool = True
+    p: Params, x: jnp.ndarray, compress_time: bool, first: bool = True,
+    name: str | None = None,
 ) -> jnp.ndarray:
     """2x nearest upsample (spatial, and temporal when compress_time) + conv.
 
@@ -393,7 +450,7 @@ def _upsample(
             x = _nearest_resize(x, 1, H * 2, W * 2)
     else:
         x = _nearest_resize(x, F, H * 2, W * 2)
-    return _conv2d(p["conv"], x, padding=((1, 1), (1, 1)))
+    return _conv2d(p["conv"], x, padding=((1, 1), (1, 1)), name=name)
 
 
 # ---------------------------------------------------------------------------
@@ -404,9 +461,14 @@ def encoder_forward(
     cfg: VAEConfig, params: Params, x: jnp.ndarray, cache: Cache | None
 ) -> tuple[jnp.ndarray, Cache]:
     """Pixels [B, F, H, W, 3] -> moments [B, F', H/8, W/8, 2*latent]."""
+    global _CALIB_SCOPE
+    if _CALIB is not None:
+        _CALIB_SCOPE = "encoder"
     cache = cache or {}
     nc: Cache = {}
-    h, nc["conv_in"] = causal_conv3d(params["conv_in"], x, cache.get("conv_in"))
+    h, nc["conv_in"] = causal_conv3d(
+        params["conv_in"], x, cache.get("conv_in"), name="conv_in"
+    )
 
     n_blocks = len(cfg.block_out_channels)
     for i in range(n_blocks):
@@ -416,13 +478,18 @@ def encoder_forward(
                 cfg, bp["resnets"][j], h, None, cache, nc, f"down.{i}.res.{j}"
             )
         if i < n_blocks - 1:
-            h = _downsample(bp["downsampler"], h, i < cfg.temporal_compress_level)
+            h = _downsample(
+                bp["downsampler"], h, i < cfg.temporal_compress_level,
+                name=f"down.{i}.downsample",
+            )
 
     for j in range(2):
         h = _resnet(cfg, params["mid_block"]["resnets"][j], h, None, cache, nc, f"mid.{j}")
 
     h = jax.nn.silu(_group_norm(params["norm_out"], h, cfg.norm_num_groups, cfg.norm_eps))
-    h, nc["conv_out"] = causal_conv3d(params["conv_out"], h, cache.get("conv_out"))
+    h, nc["conv_out"] = causal_conv3d(
+        params["conv_out"], h, cache.get("conv_out"), name="conv_out"
+    )
     return h, nc
 
 
@@ -435,10 +502,15 @@ def decoder_forward(
     the causally-special first frame (odd-length temporal upsampling, causal
     left padding). With a cache, this is a continuation segment — uniform
     temporal upsampling and conv left-context from the cache."""
+    global _CALIB_SCOPE
+    if _CALIB is not None:
+        _CALIB_SCOPE = "decoder"
     first = cache is None
     cache = cache or {}
     nc: Cache = {}
-    h, nc["conv_in"] = causal_conv3d(params["conv_in"], z, cache.get("conv_in"))
+    h, nc["conv_in"] = causal_conv3d(
+        params["conv_in"], z, cache.get("conv_in"), name="conv_in"
+    )
 
     for j in range(2):
         h = _resnet(
@@ -454,14 +526,19 @@ def decoder_forward(
                 cfg, bp["resnets"][j], h, z, cache, nc, f"up.{i}.res.{j}", first
             )
         if i < n_blocks - 1:
-            h = _upsample(bp["upsampler"], h, i < cfg.temporal_compress_level, first)
+            h = _upsample(
+                bp["upsampler"], h, i < cfg.temporal_compress_level, first,
+                name=f"up.{i}.upsample",
+            )
 
     h = jax.nn.silu(
         _spatial_norm3d(
             params["norm_out"], h, z, cfg.norm_num_groups, cfg.norm_eps, first
         )
     )
-    h, nc["conv_out"] = causal_conv3d(params["conv_out"], h, cache.get("conv_out"))
+    h, nc["conv_out"] = causal_conv3d(
+        params["conv_out"], h, cache.get("conv_out"), name="conv_out"
+    )
     return h, nc
 
 

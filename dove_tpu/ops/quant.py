@@ -175,11 +175,17 @@ def qconv(
     (dynamic_quant_asym) and the affine offset folds back exactly through
     the cin=1 correction conv — ~2x finer activation steps on the VAE's
     SiLU-output conv inputs for ~1/C extra FLOPs.
+
+    With "equalize_inv" present the input is pre-scaled per channel by the
+    calibrated equalization vector (SmoothQuant-style; the inverse is
+    folded into the stored weights, see _quantize_leaf_dict) — exact in
+    fp32, it only re-allocates the quantization grids between channels.
     """
+    xin = equalize_input(p, x)
     if "kernel_ksum" in p:
-        x_q, s_x, m_x = dynamic_quant_asym(x)
+        x_q, s_x, m_x = dynamic_quant_asym(xin)
     else:
-        x_q, s_x = dynamic_quant(x)
+        x_q, s_x = dynamic_quant(xin)
         m_x = None
     acc = jax.lax.conv_general_dilated(
         x_q, p["kernel_q"], strides, padding,
@@ -198,17 +204,71 @@ def qconv(
     return y.astype(x.dtype)
 
 
+def equalize_input(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Pre-scale the conv input by the calibrated per-channel equalization
+    (fp32 — no extra bf16 rounding; the cast feeds the quantizer, which
+    works in fp32 anyway). Identity when the leaf is not equalized."""
+    if "equalize_inv" in p:
+        return x.astype(jnp.float32) * p["equalize_inv"]
+    return x
+
+
+def equalization_vector(
+    w: jnp.ndarray, calib_amax: jnp.ndarray, alpha: float = 0.5
+) -> jnp.ndarray:
+    """SmoothQuant-style per-input-channel equalization d [cin]:
+    x/d quantizes, w*d absorbs it (exact in fp32). d balances the
+    activation and weight ranges: d = amax_x^alpha / amax_w^(1-alpha),
+    normalized to geometric-mean 1 (keeps the per-tensor activation scale
+    in the same regime) and clipped to [2^-6, 2^6]. Guards: channels with
+    zero observed range keep d=1."""
+    a_w = jnp.max(
+        jnp.abs(w.astype(jnp.float32)),
+        axis=tuple(i for i in range(w.ndim) if i != w.ndim - 2),
+    )
+    a_x = calib_amax.astype(jnp.float32)
+    ok = (a_x > 0) & (a_w > 0)
+    d = jnp.where(
+        ok,
+        jnp.power(jnp.maximum(a_x, 1e-12), alpha)
+        / jnp.power(jnp.maximum(a_w, 1e-12), 1.0 - alpha),
+        1.0,
+    )
+    logd = jnp.log(d)
+    d = jnp.exp(logd - jnp.mean(logd, where=ok, keepdims=False))
+    return jnp.clip(jnp.where(ok, d, 1.0), 2.0**-6, 2.0**6)
+
+
 def _quantize_leaf_dict(p: Params, donate: bool = True,
                         key: str = "kernel_q",
-                        with_ksum: bool = False) -> Params:
+                        with_ksum: bool = False,
+                        calib_amax: jnp.ndarray | None = None) -> Params:
     """{"kernel": w, "bias"?} -> {key, "kernel_scale", "bias"?}.
 
     with_ksum additionally stores "kernel_ksum" = sum_cin(w_q) (f32,
     cin axis kept as 1) — the asymmetric activation scheme's correction
-    kernel (see dynamic_quant_asym)."""
+    kernel (see dynamic_quant_asym).
+
+    calib_amax (per-input-channel activation amax from vae.calibrate)
+    additionally folds a SmoothQuant-style equalization: the stored
+    weights absorb d, "equalize_inv" = 1/d pre-scales the activation at
+    run time (equalize_input). The ksum correction stays consistent — it
+    is computed from the equalized quantized weights."""
+    w = p["kernel"]
+    eq_inv = None
+    if calib_amax is not None:
+        d = equalization_vector(w, calib_amax)
+        shape = (1,) * (w.ndim - 2) + (-1, 1)
+        # quantize from fp32: re-rounding the scaled weights to bf16 first
+        # would waste the equalization's precision win
+        w = w.astype(jnp.float32) * d.reshape(shape)
+        eq_inv = (1.0 / d).astype(jnp.float32)
+        donate = False  # w is a fresh scaled copy, not the caller's leaf
     fn = _quantize_weight_donated if donate else _quantize_weight_jit
-    w_q, scale = fn(p["kernel"])
+    w_q, scale = fn(w)
     out = {key: w_q, "kernel_scale": scale}
+    if eq_inv is not None:
+        out["equalize_inv"] = eq_inv
     if with_ksum:
         out["kernel_ksum"] = w_q.astype(jnp.float32).sum(
             axis=-2, keepdims=True
@@ -260,8 +320,42 @@ def quantize_dit(params: Params, donate: bool = True,
     return {**params, "blocks": new_blocks}
 
 
+def calib_name(path: tuple) -> str:
+    """Translate a VAE param-tree path to the runtime conv name used by
+    vae._calib_tap (which mirrors the conv-cache keys):
+      ("decoder","up_blocks",0,"resnets",1,"conv1") -> "decoder.up.0.res.1.conv1"
+      ("decoder","mid_block","resnets",0,"conv2")   -> "decoder.mid.0.conv2"
+      ("encoder","down_blocks",2,"downsampler","conv") -> "encoder.down.2.downsample"
+    Covered by tests/test_quant.py: every name quantize_vae derives must
+    appear in an actual vae.calibrate capture."""
+    out: list[str] = []
+    toks = list(path)
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t == "down_blocks":
+            out.append("down")
+        elif t == "up_blocks":
+            out.append("up")
+        elif t == "mid_block":
+            out.append("mid")
+            if i + 1 < len(toks) and toks[i + 1] == "resnets":
+                i += 1  # cache keys use "mid.{j}", not "mid.res.{j}"
+        elif t == "resnets":
+            out.append("res")
+        elif t in ("downsampler", "upsampler"):
+            out.append(t.replace("sampler", "sample"))
+            if i + 1 < len(toks) and toks[i + 1] == "conv":
+                i += 1  # the leaf dict key "conv" is not in the name
+        else:
+            out.append(str(t))
+        i += 1
+    return ".".join(out)
+
+
 def quantize_vae(params: Params, donate: bool = True,
-                 which: str = "all") -> Params:
+                 which: str = "all",
+                 calib: dict[str, jnp.ndarray] | None = None) -> Params:
     """Quantize the VAE's hot conv kernels.
 
     Policy: a conv quantizes only when it is both FLOP-heavy and robust —
@@ -276,6 +370,11 @@ def quantize_vae(params: Params, donate: bool = True,
     full-int8 mode's 30 dB drift is encoder-dominated, while DiT-only
     drift is 49 dB — docs/reports/QUANT_FRONTIER.md); the decoder's error
     stays local to pixels.
+
+    calib: {name: per-input-channel activation amax} from vae.calibrate —
+    folds SmoothQuant-style channel equalization into each matched conv
+    (see _quantize_leaf_dict). Convs without a calib entry quantize
+    without equalization.
     """
     if which not in ("all", "decoder", "encoder"):
         raise ValueError(f"which={which!r}")
@@ -287,15 +386,20 @@ def quantize_vae(params: Params, donate: bool = True,
         cin, cout = w.shape[-2], w.shape[-1]
         return kh >= 3 and kw >= 3 and cin >= 64 and cout >= 64
 
-    def walk(node):
+    def walk(node, path):
         if isinstance(node, dict):
             if "kernel" in node and should_quantize(node["kernel"]):
-                return _quantize_leaf_dict(node, donate, with_ksum=True)
-            return {k: walk(v) for k, v in node.items()}
+                amax = calib.get(calib_name(path)) if calib else None
+                return _quantize_leaf_dict(
+                    node, donate, with_ksum=True, calib_amax=amax
+                )
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
         if isinstance(node, list):
-            return [walk(v) for v in node]
+            return [walk(v, path + (i,)) for i, v in enumerate(node)]
         return node
 
     if which == "all":
-        return walk(params)
-    return {k: (walk(v) if k == which else v) for k, v in params.items()}
+        return walk(params, ())
+    return {
+        k: (walk(v, (k,)) if k == which else v) for k, v in params.items()
+    }

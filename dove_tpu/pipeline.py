@@ -146,6 +146,13 @@ class DovePipeline:
     # The mixed modes are drift/speed frontier points (docs/reports/
     # QUANT_FRONTIER.md); the bf16 path remains the bit-parity reference.
     quantize: str | None = None
+    # {name: per-input-channel activation amax} from vae.calibrate (dumped
+    # by scripts/int8_drift_report.py --calib_out, or alongside a real
+    # checkpoint). When the serving mode quantizes the VAE, each matched
+    # conv gets a SmoothQuant-style channel equalization folded into its
+    # int8 weights (ops/quant.py:equalization_vector) — measured drift
+    # reduction in docs/reports/QUANT_FRONTIER.md. Ignored by bf16 modes.
+    vae_calib: dict | None = None
     # Staged path: emit planar YUV 4:2:0 (I420) uint8 frames [F, H*3//2, W]
     # instead of RGB [F, H, W, 3] — half the device->host bytes for the SAME
     # written artifact whenever the output is a standard yuv420 mp4 (the
@@ -232,12 +239,13 @@ class DovePipeline:
                 )
             if self._vae_quantized:
                 self.vae_params = quantize_vae(
-                    self.vae_params, donate=self.donate_weights
+                    self.vae_params, donate=self.donate_weights,
+                    calib=self.vae_calib,
                 )
             elif self._vae_decoder_quantized:
                 self.vae_params = quantize_vae(
                     self.vae_params, donate=self.donate_weights,
-                    which="decoder",
+                    which="decoder", calib=self.vae_calib,
                 )
         elif self.quantize:
             raise ValueError(f"unknown quantize mode: {self.quantize}")

@@ -88,6 +88,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "bf16 (weight-rounding drift only); each is one "
                         "component (drift/speed frontier points — see "
                         "docs/reports/QUANT_FRONTIER.md)")
+    p.add_argument("--vae_calib", type=str, default=None,
+                   help="npz of per-conv per-channel activation amax "
+                        "(scripts/int8_drift_report.py --calib_out): folds "
+                        "SmoothQuant-style channel equalization into the "
+                        "quantized VAE convs (int8/int8-vae/int8-dit-dec)")
     p.add_argument("--data_parallel", type=int, default=0,
                    help="N-chip data mesh: shards tile batches (fused path) "
                         "or temporal chunks (staged --is_vae_st path) — "
@@ -201,6 +206,10 @@ def load_pipeline(args):
         prompt_embedding=prompt_embedding, dtype=dtype,
         vae_tiling=args.is_vae_st,
         quantize=args.quantize,
+        vae_calib=(
+            {k: jnp.asarray(v) for k, v in np.load(args.vae_calib).items()}
+            if args.vae_calib else None
+        ),
         # writers take uint8 directly; keep float when metrics need [0,1]
         output_uint8=args.is_vae_st and not args.eval_metrics,
         # For plain mp4 output the H.264 encoder consumes yuv420 anyway, so

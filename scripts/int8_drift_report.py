@@ -209,7 +209,7 @@ def compact_hbm(pipe):
 
 
 def build_pipe(preset: str, quantize: str | None, weights: str = "gaussian",
-               attention: str | None = None):
+               attention: str | None = None, vae_calib: dict | None = None):
     from dove_tpu.config import cogvideox1_5_5b, cogvideox_2b, tiny_test
     from dove_tpu.models.dit import init_dit_params
     from dove_tpu.models.vae import init_vae_params
@@ -240,6 +240,7 @@ def build_pipe(preset: str, quantize: str | None, weights: str = "gaussian",
         # 9-latent 720p dec_all program over 16 GB (measured OOM, twice).
         output_i420=preset != "tiny",
         quantize=quantize,
+        vae_calib=vae_calib,
         sample_posterior=False,  # deterministic: drift only, no sampling
     )
     if quantize and preset != "tiny":
@@ -318,6 +319,12 @@ def main():
     ap.add_argument("--compare", type=str, default=None,
                     help="bf16 npz to compare against (int8 run)")
     ap.add_argument("--report", type=str, default=None)
+    ap.add_argument("--calib_out", type=str, default=None,
+                    help="(bf16 run) dump per-conv per-channel activation "
+                         "amax for SmoothQuant-style equalization")
+    ap.add_argument("--calib", type=str, default=None,
+                    help="(quantized run) equalize VAE conv quantization "
+                         "with these calibration stats")
     ap.add_argument("--compact_hbm", action="store_true",
                     help="round-trip the weight trees through the host "
                          "after build. Measured NOT to fix the 46x42-"
@@ -328,8 +335,16 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    vae_calib = None
+    if args.calib:
+        loaded = np.load(args.calib)
+        vae_calib = {k: jnp.asarray(loaded[k]) for k in loaded.files}
+        print(f"equalizing with {len(vae_calib)} calibrated convs "
+              f"({args.calib})", file=sys.stderr)
+
     pipe = build_pipe(args.preset, None if args.mode == "bf16" else args.mode,
-                      weights=args.weights, attention=args.attention)
+                      weights=args.weights, attention=args.attention,
+                      vae_calib=vae_calib)
     if args.compact_hbm:
         compact_hbm(pipe)
     stages = run_stages(pipe, args.frames, args.height, args.width)
@@ -339,6 +354,40 @@ def main():
     if args.out:
         np.savez_compressed(args.out, **stages)
         print(f"wrote {args.out}", file=sys.stderr)
+
+    if args.calib_out:
+        # per-channel activation amax of every named VAE conv, captured on
+        # windows of THIS run's fixture (bf16 weights): the decoder sees a
+        # decode-ready x0 window, the encoder a pixel window. Equalization
+        # uses channel RATIOS, so window-local amax is representative.
+        if args.mode != "bf16":
+            raise SystemExit("--calib_out requires --mode bf16")
+        from dove_tpu.models import vae as vae_mod
+
+        cfg = pipe.config.vae
+        z = jnp.asarray(stages["x0"], pipe.dtype)[:, :3, :16, :24]
+        _, dec_stats = vae_mod.calibrate(
+            lambda q: vae_mod.decoder_forward(
+                cfg, pipe.vae_params["decoder"], q, None
+            ),
+            z,
+        )
+        rng = np.random.default_rng(0)
+        lq = jnp.asarray(
+            rng.random((1, args.frames, args.height, args.width, 3),
+                       np.float32) * 2.0 - 1.0,
+            pipe.dtype,
+        )[:, :9, :96, :96]
+        _, enc_stats = vae_mod.calibrate(
+            lambda v: vae_mod.encoder_forward(
+                cfg, pipe.vae_params["encoder"], v, None
+            ),
+            lq,
+        )
+        calib = {k: np.asarray(v, np.float32)
+                 for k, v in {**enc_stats, **dec_stats}.items()}
+        np.savez_compressed(args.calib_out, **calib)
+        print(f"wrote {args.calib_out} ({len(calib)} convs)", file=sys.stderr)
 
     if args.compare:
         ref = np.load(args.compare)
@@ -368,6 +417,7 @@ def main():
                 if args.preset != "tiny" else "single window (tiny)"
             ),
             "sample_posterior": False,
+            "equalized": bool(vae_calib),
             "rel_err": {
                 "enc_moments": rel_err(stages["moments"], ref["moments"]),
                 "dit_x0": rel_err(stages["x0"], ref["x0"]),

@@ -254,20 +254,29 @@ def test_int8_drift_report_roundtrip(tmp_path):
             "--cpu", "--preset", "tiny", "--frames", "9",
             "--height", "32", "--width", "32"]
     ref = tmp_path / "bf16.npz"
-    r = subprocess.run(base + ["--mode", "bf16", "--out", str(ref)],
-                       capture_output=True, text=True, cwd=REPO, env=env)
+    calib = tmp_path / "calib.npz"
+    r = subprocess.run(
+        base + ["--mode", "bf16", "--out", str(ref),
+                "--calib_out", str(calib)],
+        capture_output=True, text=True, cwd=REPO, env=env,
+    )
     assert r.returncode == 0, r.stderr
+    stats = np.load(calib)
+    assert any(k.startswith("decoder.") for k in stats.files)
+    assert any(k.startswith("encoder.") for k in stats.files)
     report = tmp_path / "report.json"
     r = subprocess.run(
         base + ["--mode", "int8", "--compare", str(ref),
-                "--report", str(report)],
+                "--calib", str(calib), "--report", str(report)],
         capture_output=True, text=True, cwd=REPO, env=env,
     )
     assert r.returncode == 0, r.stderr
     rep = json.loads(report.read_text())
     assert set(rep["rel_err"]) == {"enc_moments", "dit_x0"}
+    assert rep["equalized"] is True
     assert np.isfinite(rep["end_to_end"]["psnr_rgb_vs_bf16_db"])
     # tiny VAE convs are below the 64-channel quantization threshold, so
-    # encode is exact; the DiT quantizes and must drift only slightly
+    # encode is exact (the calib stats match no quantized conv either);
+    # the DiT quantizes and must drift only slightly
     assert rep["rel_err"]["enc_moments"] == 0.0
     assert 0 < rep["rel_err"]["dit_x0"] < 0.05

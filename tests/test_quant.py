@@ -104,6 +104,142 @@ def test_asym_beats_symmetric_on_skewed_activations():
         assert snr_asym > snr_sym + 1.0, (kt, snr_sym, snr_asym)
 
 
+def _vae64():
+    """Smallest config whose convs pass the >=64-channel quantize policy."""
+    from dove_tpu.config import VAEConfig
+
+    cfg = VAEConfig(
+        latent_channels=8,
+        block_out_channels=(64, 64),
+        layers_per_block=1,
+        norm_num_groups=4,
+        sample_frames_batch_size=8,
+        latent_frames_batch_size=2,
+        tile_sample_min_height=16,
+        tile_sample_min_width=16,
+    )
+    params = init_vae_params(jax.random.PRNGKey(2), cfg, jnp.float32)
+    return cfg, params
+
+
+def test_calibration_names_reach_every_quantized_conv():
+    """vae.calibrate's runtime tap names and quantize_vae's tree-path
+    translation (quant.calib_name) must agree: with calibration stats
+    given, EVERY quantized conv leaf ends up equalized — a name-mapping
+    drift would silently skip layers."""
+    from dove_tpu.models import vae as vae_mod
+
+    cfg, params = _vae64()
+    video = jax.random.uniform(
+        jax.random.PRNGKey(3), (1, 5, 16, 16, 3), jnp.float32, -1, 1
+    )
+    lat = jax.random.normal(
+        jax.random.PRNGKey(4), (1, 2, 4, 4, cfg.latent_channels), jnp.float32
+    )
+    _, enc_stats = vae_mod.calibrate(
+        lambda v: vae_mod.encoder_forward(cfg, params["encoder"], v, None),
+        video,
+    )
+    _, dec_stats = vae_mod.calibrate(
+        lambda z: vae_mod.decoder_forward(cfg, params["decoder"], z, None),
+        lat,
+    )
+    calib = {**enc_stats, **dec_stats}
+    assert any(k.startswith("encoder.") for k in calib)
+    assert any(k.startswith("decoder.") for k in calib)
+
+    q = quantize_vae(params, donate=False, calib=calib)
+
+    missing = []
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            if "kernel_q" in node and "equalize_inv" not in node:
+                missing.append(path)
+            for k, v in node.items():
+                walk(v, f"{path}.{k}")
+        elif isinstance(node, list):
+            for i, v in enumerate(node):
+                walk(v, f"{path}.{i}")
+
+    walk(q, "")
+    assert not missing, f"quantized convs without equalization: {missing}"
+
+
+def test_equalized_fold_is_exact():
+    """Channel equalization (x/d, w*d) plus the asymmetric offset must
+    still reproduce the conv of the dequantized operands exactly."""
+    from dove_tpu.ops.quant import (
+        _quantize_leaf_dict, dynamic_quant_asym, equalize_input, qconv,
+    )
+
+    rng = np.random.default_rng(5)
+    gains = np.exp(rng.normal(0, 1.0, 32)).astype(np.float32)
+    x = jnp.asarray(
+        np.maximum(rng.normal(1.0, 2.0, (1, 5, 12, 12, 32)), -0.278)
+        * gains,
+        jnp.float32,
+    )
+    w = jnp.asarray(rng.normal(0, 0.05, (3, 3, 3, 32, 16)), jnp.float32)
+    amax = jnp.max(jnp.abs(x), axis=(0, 1, 2, 3))
+    p = _quantize_leaf_dict(
+        {"kernel": w}, donate=False, with_ksum=True, calib_amax=amax
+    )
+    assert "equalize_inv" in p
+    pad = ((1, 1), (1, 1), (1, 1))
+    dims = ("NDHWC", "DHWIO", "NDHWC")
+    y_q = qconv(p, x, (1, 1, 1), pad, dims)
+
+    x_q, s, m = dynamic_quant_asym(equalize_input(p, x))
+    x_deq = s * x_q.astype(jnp.float32) + m
+    w_deq = p["kernel_q"].astype(jnp.float32) * p["kernel_scale"]
+    y_ref = jax.lax.conv_general_dilated(
+        x_deq, w_deq, (1, 1, 1), pad, dimension_numbers=dims
+    )
+    rel = float(jnp.abs(y_q - y_ref).max() / jnp.abs(y_ref).max())
+    assert rel < 5e-6, rel
+
+
+def test_equalization_beats_plain_quant_on_outlier_channels():
+    """Per-channel activation gains (the outlier weight family's pathology)
+    must cost the equalized scheme far less than the per-tensor one."""
+    from dove_tpu.models.vae import causal_conv3d
+    from dove_tpu.ops.quant import _quantize_leaf_dict
+
+    rng = np.random.default_rng(6)
+    gains = np.exp(rng.normal(0, 1.2, 64)).astype(np.float32)
+    x = jnp.asarray(
+        np.maximum(rng.normal(1.0, 2.0, (1, 5, 12, 12, 64)), -0.278)
+        * gains,
+        jnp.float32,
+    )
+    raw = {
+        "kernel": jnp.asarray(
+            rng.normal(0, 0.05, (3, 3, 3, 64, 64)), jnp.float32
+        )
+    }
+    y_true, _ = causal_conv3d(raw, x, None)
+
+    def snr(p):
+        y, _ = causal_conv3d(p, x, None)
+        e = jnp.mean(jnp.square(y - y_true))
+        return float(10 * jnp.log10(jnp.mean(jnp.square(y_true)) / e))
+
+    amax = jnp.max(jnp.abs(x), axis=(0, 1, 2, 3))
+    snr_plain = snr(_quantize_leaf_dict(raw, donate=False, with_ksum=True))
+    snr_eq = snr(
+        _quantize_leaf_dict(
+            raw, donate=False, with_ksum=True, calib_amax=amax
+        )
+    )
+    # alpha=0.5 splits the imbalance between the grids; the folded spread
+    # costs weight precision (per-cout scales can't absorb per-cin factors)
+    # so the net win is ~+3.7 dB here, not the full activation-side gap —
+    # measured optimum across alpha (scripts history: 0.25/0.5/0.75/1.0
+    # gave 38.4/38.9/37.4/33.8 vs 35.2 plain)
+    assert snr_eq > snr_plain + 3.0, (snr_plain, snr_eq)
+
+
 def test_qlinear_per_row_scales_ignore_outlier_tokens():
     """One huge-magnitude token must not degrade the OTHER tokens' precision
     (the per-tensor scheme's failure mode; qlinear quantizes per row)."""
