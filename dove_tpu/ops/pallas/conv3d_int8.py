@@ -73,6 +73,7 @@ def _kernel(
     nh: int,
     Fo: int,
     acc_dtype=jnp.int32,
+    dh_fold: bool = False,
 ):
     co = pl.program_id(0)
     F = Fo + 2
@@ -131,12 +132,37 @@ def _kernel(
         # 27 small dots with per-dw accumulators. A K-folded variant
         # (9 (kt,dh) taps packed into one [M, 9*128] operand so the tap
         # sum runs inside the MXU's K loop) was built and measured SLOWER
-        # (63.2 vs 59.6 ms at TH=8): the operand build + re-reads cost
-        # more than the int32 accumulator round-trips they remove.
+        # for int8 (63.2 vs 59.6 ms at TH=8): the operand build + re-reads
+        # cost more than the int32 accumulator round-trips they remove.
+        # dh_fold is the cheaper middle point (bf16 only): concatenate the
+        # 3 row-shifted views on the LANE axis once per (ci, kt) — K=384
+        # dots, 3x fewer accumulator round-trips, operand build is one
+        # in-VMEM copy reused by all 3 dw dots.
         first = True
         for ci in range(ncin):
             for kt in range(3):
                 slot = (f + kt) % RING
+                if dh_fold:
+                    a3 = jnp.concatenate(
+                        [
+                            x_s[slot, ci, dh : dh + TH].reshape(M, LANE)
+                            for dh in range(3)
+                        ],
+                        axis=1,
+                    )  # [M, 3*LANE]
+                    for dw in range(3):
+                        w = w_ref[kt * 3 + dw,
+                                  ci * 3 * LANE : (ci + 1) * 3 * LANE, :]
+                        p = jax.lax.dot_general(
+                            a3, w, (((1,), (0,)), ((), ())),
+                            preferred_element_type=acc_dtype,
+                        )
+                        if first:
+                            acc_s[dw] = p
+                        else:
+                            acc_s[dw] += p
+                    first = False
+                    continue
                 for dh in range(3):
                     a = x_s[slot, ci, dh : dh + TH].reshape(M, LANE)
                     for dw in range(3):
@@ -247,13 +273,16 @@ def conv3d_w8a8(
 SUB_BF16 = 16  # bf16 sublane tile
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype", "row_block"))
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "row_block", "dh_fold")
+)
 def conv3d_bf16(
     x: jnp.ndarray,  # [F, Hp, Wp, Cin] bf16; F = Fo + 2 (causal cache frames
     #                  prepended by the caller), Hp = Ho + 2, Wp = Wo + 2
     w: jnp.ndarray,  # [3, 3, 3, Cin, Cout] bf16
     out_dtype=jnp.bfloat16,
     row_block: int | None = None,
+    dh_fold: bool = False,
 ):
     """VALID 3x3x3 bf16 conv of a pre-padded input -> [Fo, Ho, Wo, Cout].
 
@@ -291,18 +320,29 @@ def conv3d_bf16(
     pad_rows = max(nh * TH + 2 - Hp, 0)
     x = jnp.pad(x, ((0, 0), (0, pad_rows), (0, W16 - Wp), (0, 0)))
 
-    w_flat = w.astype(jnp.bfloat16).reshape(27, Cin, Cout)
+    if dh_fold:
+        # [9 = kt*dw, ncin * (3 dh * LANE), Cout]: per ci block the K rows
+        # are the 3 dh taps back-to-back, matching the kernel's lane-axis
+        # concat of the 3 row-shifted operand views
+        w_flat = (
+            w.astype(jnp.bfloat16)
+            .reshape(3, 3, 3, ncin, LANE, Cout)
+            .transpose(0, 2, 3, 1, 4, 5)
+            .reshape(9, 3 * Cin, Cout)
+        )
+    else:
+        w_flat = w.astype(jnp.bfloat16).reshape(27, Cin, Cout)
     scale = jnp.ones((1, Cout), jnp.float32)
 
     out = pl.pallas_call(
         functools.partial(
             _kernel, TH=TH, W32=W16, ncin=ncin, nh=nh, Fo=Fo,
-            acc_dtype=jnp.float32,
+            acc_dtype=jnp.float32, dh_fold=dh_fold,
         ),
         grid=(ncout,),
         in_specs=[
             pl.BlockSpec(
-                (27, Cin, LANE), lambda co: (0, 0, co),
+                w_flat.shape[:2] + (LANE,), lambda co: (0, 0, co),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(

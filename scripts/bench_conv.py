@@ -94,6 +94,17 @@ def main():
             h = jnp.pad(h, ((0, 0), (kt - 1, 0), (0, 0), (0, 0), (0, 0)))
         return h
 
+    @jax.jit
+    def direct3d_bf16(x):
+        h = x
+        for _ in range(N):
+            y = jax.lax.conv_general_dilated(
+                h, k3, (1, 1, 1), ((0, 0), (1, 1), (1, 1)),
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+            h = jnp.pad(y, ((0, 0), (kt - 1, 0), (0, 0), (0, 0), (0, 0)))
+        return h
+
     k2 = k3.transpose(1, 2, 0, 3, 4).reshape(kh, kw, kt * C, C)
     k2q, sk2 = q(k2)
 
@@ -156,11 +167,22 @@ def main():
             h = jnp.pad(h, ((0, 0), (kt - 1, 0), (0, 0), (0, 0), (0, 0)))
         return h
 
+    @jax.jit
+    def pallas_bf16_fold(x):
+        h = x
+        for _ in range(N):
+            hp = jnp.pad(h[0], ((0, 0), (1, 1), (1, 1), (0, 0)))
+            h = conv3d_bf16(hp, k3, out_dtype=jnp.bfloat16, dh_fold=True)[None]
+            h = jnp.pad(h, ((0, 0), (kt - 1, 0), (0, 0), (0, 0), (0, 0)))
+        return h
+
     report("direct3d-int8", direct3d_int8, x)
+    report("direct3d-bf16", direct3d_bf16, x)
     report("stacked-bf16", stacked_bf16, x)
     report("stacked-int8", stacked_int8, x)
     report("pallas-int8", pallas_int8, x)
     report("pallas-bf16", pallas_bf16, x)
+    report("pallas-bf16-dhfold", pallas_bf16_fold, x)
     del x
 
     # im2col-equivalent matmul: [M, K] x [K, C], K = kt*kh*kw*C. M is capped

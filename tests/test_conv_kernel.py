@@ -59,14 +59,16 @@ def test_conv3d_w8a8_matches_xla_int8(shape):
     )
 
 
+@pytest.mark.parametrize("dh_fold", [False, True])
 @pytest.mark.parametrize(
     "shape",
     [
         (5, 12, 38, 128, 128),  # W16 padding path
+        (4, 7, 20, 256, 128),  # multiple cin blocks
         (3, 18, 11, 128, 256),  # multiple cout blocks, several row blocks
     ],
 )
-def test_conv3d_bf16_matches_xla(shape):
+def test_conv3d_bf16_matches_xla(shape, dh_fold):
     # fp32 accumulation order differs between the 27-tap schedule and
     # XLA's conv emitter, so exactness is allclose at fp32 epsilon scaled
     # by the K=3456 reduction, not array_equal as in the int8 test.
@@ -81,7 +83,7 @@ def test_conv3d_bf16_matches_xla(shape):
         preferred_element_type=jnp.float32,
     )[0].astype(jnp.float32)
 
-    out = conv_mod.conv3d_bf16(x, w, out_dtype=jnp.float32)
+    out = conv_mod.conv3d_bf16(x, w, out_dtype=jnp.float32, dh_fold=dh_fold)
     assert out.shape == ref.shape
     scale = float(jnp.abs(ref).max())
     np.testing.assert_allclose(
