@@ -31,13 +31,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Opt-in persistent compilation cache (set DOVE_JAX_CACHE=/path). Not on by
-# default: remote-compile TPU tunnels may bypass or slow down the disk cache.
+# Persistent compilation cache — DEFAULT ON (round-5: measured to work over
+# this remote-compile tunnel; DOVE_JAX_CACHE=off disables, =path relocates).
+# Cold 5B compiles cost ~17 min (BENCH_r04); a warm cache is disk reads.
 import os as _os
 
-if _os.environ.get("DOVE_JAX_CACHE"):
-    jax.config.update("jax_compilation_cache_dir", _os.environ["DOVE_JAX_CACHE"])
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from dove_tpu.utils.jax_cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 BASELINE_CLIP_SECONDS = 14.90  # DOVE on A100-class GPU (BASELINE.md)
 
@@ -82,7 +83,8 @@ def zeros_tree(shapes):
     return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
 
-def build_pipeline(preset: str, vae_tiling: bool = True, quantize: str | None = None):
+def build_pipeline(preset: str, vae_tiling: bool = True, quantize: str | None = None,
+                   exclude: tuple[str, ...] = ()):
     from dove_tpu.config import cogvideox1_5_5b, cogvideox_2b, tiny_test
     from dove_tpu.models.dit import init_dit_params
     from dove_tpu.models.vae import init_vae_params
@@ -97,14 +99,26 @@ def build_pipeline(preset: str, vae_tiling: bool = True, quantize: str | None = 
     vae_shapes = jax.eval_shape(lambda k: init_vae_params(k, cfg.vae, dtype),
                                 jax.random.PRNGKey(1))
     prompt = jnp.zeros((cfg.dit.max_text_seq_length, cfg.dit.text_embed_dim), dtype)
+    vae_params = zeros_tree(vae_shapes)
+    # VAE-quantizing modes bench the EQUALIZED serving program (SmoothQuant
+    # calibration is how they are served — docs/reports/QUANT_FRONTIER.md);
+    # unit stats compile the identical op graph as real stats, so the
+    # measured seconds transfer (ops/quant.py:synthetic_vae_calib).
+    vae_calib = None
+    if quantize in ("int8", "int8-vae", "int8-dit-dec"):
+        from dove_tpu.ops.quant import synthetic_vae_calib
+
+        vae_calib = synthetic_vae_calib(vae_params)
     return DovePipeline(
         config=cfg,
         dit_params=zeros_tree(dit_shapes),
-        vae_params=zeros_tree(vae_shapes),
+        vae_params=vae_params,
         prompt_embedding=prompt,
         dtype=dtype,
         vae_tiling=vae_tiling,
         quantize=quantize,
+        vae_calib=vae_calib,
+        vae_exclude=exclude,
         output_uint8=vae_tiling,  # measure through to the writable artifact
         # the written artifact is a yuv420 mp4: pull planar I420 (half bytes)
         output_i420=vae_tiling,
@@ -141,6 +155,10 @@ def main():
                          "mixed drift/speed frontier points "
                          "(docs/reports/QUANT_FRONTIER.md); 'none' benches "
                          "the bf16 bit-parity path")
+    ap.add_argument("--exclude", type=str, default="",
+                    help="comma-separated VAE conv names kept in bf16 "
+                         "(mirrors the serving config's mixed-precision "
+                         "exclusions so the measured program matches)")
     ap.add_argument("--data_parallel", type=int, default=1,
                     help="multi-chip mesh 'data' axis (temporal chunks / "
                          "spatial windows shard); needs that many devices")
@@ -163,6 +181,7 @@ def main():
     pipe = build_pipeline(
         args.preset, vae_tiling=not args.no_vae_tiling,
         quantize=None if args.quantize == "none" else args.quantize,
+        exclude=tuple(n for n in args.exclude.split(",") if n.strip()),
     )
 
     mesh = None

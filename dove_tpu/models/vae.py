@@ -109,6 +109,74 @@ def calibrate(fn, *args):
     return jax.jit(run)(*args)
 
 
+# --- per-layer quantization-error attribution -------------------------------
+# While _QERR is a dict, every quantizable conv ALSO runs its int8 version
+# on the same bf16 input and records the local output error — one bf16
+# forward (with ~2x conv FLOPs) ranks every layer's drift contribution,
+# instead of N recompiled leave-one-out decodes (VERDICT r4 item 6). The
+# bf16 activations keep flowing, so the recorded error is each layer's OWN
+# rounding error, not upstream error propagated through it — the additive
+# first-order attribution. _QERR_CALIB carries vae.calibrate stats so the
+# attribution measures the EQUALIZED quantizer when serving would equalize.
+_QERR: dict[str, tuple[jnp.ndarray, jnp.ndarray]] | None = None
+_QERR_CALIB: dict[str, jnp.ndarray] | None = None
+
+
+def _qerr_active(name: str | None, p: Params) -> bool:
+    if _QERR is None or name is None:
+        return False
+    if "kernel" not in p or "kernel_q" in p:
+        return False
+    from dove_tpu.ops.quant import should_quantize_conv
+
+    return should_quantize_conv(p["kernel"])
+
+
+def _qerr_leaf(p: Params, name: str) -> Params:
+    from dove_tpu.ops.quant import _quantize_leaf_dict
+
+    amax = (_QERR_CALIB or {}).get(f"{_CALIB_SCOPE}.{name}")
+    return _quantize_leaf_dict(p, donate=False, with_ksum=True,
+                               calib_amax=amax)
+
+
+def _qerr_record(name: str, y: jnp.ndarray, y_q: jnp.ndarray) -> None:
+    key = f"{_CALIB_SCOPE}.{name}"
+    d = y_q.astype(jnp.float32) - y.astype(jnp.float32)
+    e2 = jnp.sum(jnp.square(d))
+    n2 = jnp.sum(jnp.square(y.astype(jnp.float32)))
+    if key in _QERR:
+        pe, pn = _QERR[key]
+        _QERR[key] = (pe + e2, pn + n2)
+    else:
+        _QERR[key] = (e2, n2)
+
+
+def attribute_quant_error(fn, *args, calib: dict | None = None):
+    """Run ``fn(*args)`` once with quantization-error taps active.
+
+    Returns (fn output, {name: (sum_sq_err, sum_sq_norm)}) as device
+    arrays; per-layer relative error = sqrt(err/norm). ``calib`` applies
+    SmoothQuant equalization inside the measured quantizer (the serving
+    configuration under attribution). fn must run on BF16 params — leaves
+    already carrying "kernel_q" are skipped (they have no bf16 reference).
+    """
+    global _QERR, _QERR_CALIB
+
+    def run(*a):
+        global _QERR, _QERR_CALIB
+        _QERR = {}
+        _QERR_CALIB = calib
+        try:
+            out = fn(*a)
+            return out, dict(_QERR)
+        finally:
+            _QERR = None
+            _QERR_CALIB = None
+
+    return jax.jit(run)(*args)
+
+
 # ---------------------------------------------------------------------------
 # Primitives
 # ---------------------------------------------------------------------------
@@ -120,6 +188,11 @@ def _conv2d(
     """Per-frame 2D conv: x [B, F, H, W, C], kernel [kH, kW, Cin, Cout]."""
     B, F = x.shape[:2]
     _calib_tap(name, x)
+    if _qerr_active(name, p):  # attribution: also run the int8 version
+        y_q = _conv2d(_qerr_leaf(p, name), x, strides, padding)
+        y = _conv2d(p, x, strides, padding)  # name omitted: no re-tap
+        _qerr_record(name, y, y_q)
+        return y
     if "kernel_q" in p:  # int8 serving mode (ops/quant.py)
         # run as a kt=1 3D conv: XLA's int8 MXU path engages for NDHWC 3D
         # convs but not the 2D lowering (measured; see causal_conv3d)
@@ -164,6 +237,11 @@ def causal_conv3d(
     input frames for the next chunk.
     """
     _calib_tap(name, x)
+    if _qerr_active(name, p):  # attribution: also run the int8 version
+        y_q, _ = causal_conv3d(_qerr_leaf(p, name), x, cache)
+        y, new_cache = causal_conv3d(p, x, cache)  # name omitted: no re-tap
+        _qerr_record(name, y, y_q)
+        return y, new_cache
     quantized = "kernel_q" in p
     kernel_leaf = p["kernel_q"] if quantized else p["kernel"]
     kt, kh, kw = kernel_leaf.shape[:3]
@@ -462,7 +540,7 @@ def encoder_forward(
 ) -> tuple[jnp.ndarray, Cache]:
     """Pixels [B, F, H, W, 3] -> moments [B, F', H/8, W/8, 2*latent]."""
     global _CALIB_SCOPE
-    if _CALIB is not None:
+    if _CALIB is not None or _QERR is not None:
         _CALIB_SCOPE = "encoder"
     cache = cache or {}
     nc: Cache = {}
@@ -503,7 +581,7 @@ def decoder_forward(
     left padding). With a cache, this is a continuation segment — uniform
     temporal upsampling and conv left-context from the cache."""
     global _CALIB_SCOPE
-    if _CALIB is not None:
+    if _CALIB is not None or _QERR is not None:
         _CALIB_SCOPE = "decoder"
     first = cache is None
     cache = cache or {}

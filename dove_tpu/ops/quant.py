@@ -353,16 +353,51 @@ def calib_name(path: tuple) -> str:
     return ".".join(out)
 
 
+def should_quantize_conv(w) -> bool:
+    """The VAE conv quantization policy: FLOP-heavy AND robust only —
+    spatial kernel >= 3x3 and >= 64 channels on BOTH sides. This keeps
+    conv_in (3->C), conv_out (C->3), the 1x1x1 spatial-norm modulation
+    convs (latent->C), and shortcut projections in bf16: together < 2% of
+    the FLOPs but the most accuracy-sensitive layers."""
+    if getattr(w, "ndim", 0) not in (4, 5):
+        return False
+    kh, kw = w.shape[-4], w.shape[-3]
+    cin, cout = w.shape[-2], w.shape[-1]
+    return kh >= 3 and kw >= 3 and cin >= 64 and cout >= 64
+
+
+def synthetic_vae_calib(params: Params) -> dict[str, jnp.ndarray]:
+    """Unit activation-amax stats for every quantizable VAE conv.
+
+    For SPEED measurement only (bench.py): builds the same serving program
+    as a real calibration — every matched conv carries "equalize_inv" and
+    pays the runtime per-channel pre-scale — without needing a calibration
+    run. With all-ones stats (and bench's zeros weights) the equalization
+    is numerically the identity, but XLA compiles the identical op graph
+    it would for real stats, so the measured seconds transfer."""
+    out: dict[str, jnp.ndarray] = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            if "kernel" in node and should_quantize_conv(node["kernel"]):
+                out[calib_name(path)] = jnp.ones(
+                    (node["kernel"].shape[-2],), jnp.float32
+                )
+            for k, v in node.items():
+                walk(v, path + (k,))
+        elif isinstance(node, list):
+            for i, v in enumerate(node):
+                walk(v, path + (i,))
+
+    walk(params, ())
+    return out
+
+
 def quantize_vae(params: Params, donate: bool = True,
                  which: str = "all",
-                 calib: dict[str, jnp.ndarray] | None = None) -> Params:
-    """Quantize the VAE's hot conv kernels.
-
-    Policy: a conv quantizes only when it is both FLOP-heavy and robust —
-    spatial kernel >= 3x3 and >= 64 channels on BOTH sides. This keeps
-    conv_in (3->C), conv_out (C->3), the 1x1x1 spatial-norm modulation convs
-    (latent->C), and shortcut projections in bf16: together < 2% of the
-    FLOPs but the most accuracy-sensitive layers.
+                 calib: dict[str, jnp.ndarray] | None = None,
+                 exclude: tuple[str, ...] | list[str] | None = None) -> Params:
+    """Quantize the VAE's hot conv kernels (policy: should_quantize_conv).
 
     which: "all" | "decoder" | "encoder". "decoder" is the int8-dit-dec
     serving mode's half: encoder moments feed the DiT, so ENCODER
@@ -375,21 +410,27 @@ def quantize_vae(params: Params, donate: bool = True,
     folds SmoothQuant-style channel equalization into each matched conv
     (see _quantize_leaf_dict). Convs without a calib entry quantize
     without equalization.
+
+    exclude: runtime conv names (calib_name convention, e.g.
+    "decoder.up.0.res.1.conv1") to KEEP IN bf16 — the mixed-precision knob
+    for the per-layer drift attribution (vae.attribute_quant_error ranks
+    layers; excluding the worst few trades a small speed slice for dB).
+    Unknown names raise (a typo would silently quantize the layer it was
+    meant to protect).
     """
     if which not in ("all", "decoder", "encoder"):
         raise ValueError(f"which={which!r}")
-
-    def should_quantize(w) -> bool:
-        if getattr(w, "ndim", 0) not in (4, 5):
-            return False
-        kh, kw = w.shape[-4], w.shape[-3]
-        cin, cout = w.shape[-2], w.shape[-1]
-        return kh >= 3 and kw >= 3 and cin >= 64 and cout >= 64
+    exclude_set = set(exclude or ())
+    seen_names: set[str] = set()
 
     def walk(node, path):
         if isinstance(node, dict):
-            if "kernel" in node and should_quantize(node["kernel"]):
-                amax = calib.get(calib_name(path)) if calib else None
+            if "kernel" in node and should_quantize_conv(node["kernel"]):
+                name = calib_name(path)
+                seen_names.add(name)
+                if name in exclude_set:
+                    return node
+                amax = calib.get(name) if calib else None
                 return _quantize_leaf_dict(
                     node, donate, with_ksum=True, calib_amax=amax
                 )
@@ -399,7 +440,17 @@ def quantize_vae(params: Params, donate: bool = True,
         return node
 
     if which == "all":
-        return walk(params, ())
-    return {
-        k: (walk(v, (k,)) if k == which else v) for k, v in params.items()
-    }
+        out = walk(params, ())
+    else:
+        out = {
+            k: (walk(v, (k,)) if k == which else v)
+            for k, v in params.items()
+        }
+    unknown = exclude_set - seen_names
+    if unknown:
+        raise ValueError(
+            f"exclude names not found among quantizable convs in "
+            f"which={which!r}: {sorted(unknown)}; known: "
+            f"{sorted(seen_names)}"
+        )
+    return out

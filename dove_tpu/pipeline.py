@@ -153,6 +153,12 @@ class DovePipeline:
     # int8 weights (ops/quant.py:equalization_vector) — measured drift
     # reduction in docs/reports/QUANT_FRONTIER.md. Ignored by bf16 modes.
     vae_calib: dict | None = None
+    # Runtime conv names (ops/quant.py calib_name convention, e.g.
+    # "decoder.up.0.res.1.conv1") to KEEP IN bf16 when the serving mode
+    # quantizes the VAE — the mixed-precision knob fed by the per-layer
+    # drift attribution (models/vae.py:attribute_quant_error ranks layers;
+    # scripts/int8_drift_report.py --attribution prints the ranking).
+    vae_exclude: tuple[str, ...] = ()
     # Staged path: emit planar YUV 4:2:0 (I420) uint8 frames [F, H*3//2, W]
     # instead of RGB [F, H, W, 3] — half the device->host bytes for the SAME
     # written artifact whenever the output is a standard yuv420 mp4 (the
@@ -240,12 +246,13 @@ class DovePipeline:
             if self._vae_quantized:
                 self.vae_params = quantize_vae(
                     self.vae_params, donate=self.donate_weights,
-                    calib=self.vae_calib,
+                    calib=self.vae_calib, exclude=self.vae_exclude,
                 )
             elif self._vae_decoder_quantized:
                 self.vae_params = quantize_vae(
                     self.vae_params, donate=self.donate_weights,
                     which="decoder", calib=self.vae_calib,
+                    exclude=self.vae_exclude,
                 )
         elif self.quantize:
             raise ValueError(f"unknown quantize mode: {self.quantize}")

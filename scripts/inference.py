@@ -28,11 +28,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-import os as _os
+from dove_tpu.utils.jax_cache import enable_persistent_cache
 
-if _os.environ.get("DOVE_JAX_CACHE"):
-    jax.config.update("jax_compilation_cache_dir", _os.environ["DOVE_JAX_CACHE"])
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+enable_persistent_cache()  # default-on; DOVE_JAX_CACHE=off|path overrides
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -65,14 +65,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Opt-in persistent compilation cache, same contract as bench.py: the sweep
-# runs one process per mode (HBM: bf16 + int8 trees cannot co-reside), so
-# without this every process pays the full 5B compile again.
-import os as _os
+# Persistent compilation cache, default-on (same contract as bench.py): the
+# sweep runs one process per mode (HBM: bf16 + int8 trees cannot co-reside),
+# so without this every process pays the full 5B compile again.
+from dove_tpu.utils.jax_cache import enable_persistent_cache
 
-if _os.environ.get("DOVE_JAX_CACHE"):
-    jax.config.update("jax_compilation_cache_dir", _os.environ["DOVE_JAX_CACHE"])
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+enable_persistent_cache()
 
 
 def _outlier_leaf(key, shape, fan_in: float, dtype):
@@ -209,7 +207,8 @@ def compact_hbm(pipe):
 
 
 def build_pipe(preset: str, quantize: str | None, weights: str = "gaussian",
-               attention: str | None = None, vae_calib: dict | None = None):
+               attention: str | None = None, vae_calib: dict | None = None,
+               vae_exclude: tuple[str, ...] = ()):
     from dove_tpu.config import cogvideox1_5_5b, cogvideox_2b, tiny_test
     from dove_tpu.models.dit import init_dit_params
     from dove_tpu.models.vae import init_vae_params
@@ -241,6 +240,7 @@ def build_pipe(preset: str, quantize: str | None, weights: str = "gaussian",
         output_i420=preset != "tiny",
         quantize=quantize,
         vae_calib=vae_calib,
+        vae_exclude=vae_exclude,
         sample_posterior=False,  # deterministic: drift only, no sampling
     )
     if quantize and preset != "tiny":
@@ -325,6 +325,16 @@ def main():
     ap.add_argument("--calib", type=str, default=None,
                     help="(quantized run) equalize VAE conv quantization "
                          "with these calibration stats")
+    ap.add_argument("--exclude", type=str, default=None,
+                    help="comma-separated conv names (calib_name "
+                         "convention) to KEEP in bf16 — the mixed-"
+                         "precision knob from the attribution ranking")
+    ap.add_argument("--attribution", action="store_true",
+                    help="(bf16 run) rank every quantizable VAE conv by "
+                         "its LOCAL int8 output error in one pass "
+                         "(vae.attribute_quant_error) — with --calib the "
+                         "measured quantizer is the equalized one. Writes "
+                         "top-layer ranking into --report")
     ap.add_argument("--compact_hbm", action="store_true",
                     help="round-trip the weight trees through the host "
                          "after build. Measured NOT to fix the 46x42-"
@@ -342,9 +352,12 @@ def main():
         print(f"equalizing with {len(vae_calib)} calibrated convs "
               f"({args.calib})", file=sys.stderr)
 
+    exclude = tuple(
+        n for n in (args.exclude or "").split(",") if n.strip()
+    )
     pipe = build_pipe(args.preset, None if args.mode == "bf16" else args.mode,
                       weights=args.weights, attention=args.attention,
-                      vae_calib=vae_calib)
+                      vae_calib=vae_calib, vae_exclude=exclude)
     if args.compact_hbm:
         compact_hbm(pipe)
     stages = run_stages(pipe, args.frames, args.height, args.width)
@@ -388,6 +401,68 @@ def main():
                  for k, v in {**enc_stats, **dec_stats}.items()}
         np.savez_compressed(args.calib_out, **calib)
         print(f"wrote {args.calib_out} ({len(calib)} convs)", file=sys.stderr)
+        if args.attribution and vae_calib is None:
+            # same-process flow: --calib_out + --attribution ranks layers
+            # under the EQUALIZED quantizer the stats were just captured
+            # for, without a second bf16 process (each costs a 5B build)
+            vae_calib = {k: jnp.asarray(v) for k, v in calib.items()}
+            print("attribution will use the freshly captured calib",
+                  file=sys.stderr)
+
+    if args.attribution:
+        # One doubled-conv bf16 pass per VAE half ranks every quantizable
+        # conv by its LOCAL int8 output error (models/vae.py:
+        # attribute_quant_error — first-order additive attribution; no
+        # leave-one-out recompiles). Windows mirror --calib_out's capture.
+        if args.mode != "bf16":
+            raise SystemExit("--attribution requires --mode bf16")
+        from dove_tpu.models import vae as vae_mod
+
+        cfg = pipe.config.vae
+        z = jnp.asarray(stages["x0"], pipe.dtype)[:, :3, :16, :24]
+        _, dec_err = vae_mod.attribute_quant_error(
+            lambda q: vae_mod.decoder_forward(
+                cfg, pipe.vae_params["decoder"], q, None
+            ),
+            z, calib=vae_calib,
+        )
+        rng = np.random.default_rng(0)
+        lq = jnp.asarray(
+            rng.random((1, args.frames, args.height, args.width, 3),
+                       np.float32) * 2.0 - 1.0,
+            pipe.dtype,
+        )[:, :9, :96, :96]
+        _, enc_err = vae_mod.attribute_quant_error(
+            lambda v: vae_mod.encoder_forward(
+                cfg, pipe.vae_params["encoder"], v, None
+            ),
+            lq, calib=vae_calib,
+        )
+        ranking = sorted(
+            (
+                (name,
+                 float(np.sqrt(float(np.asarray(e, np.float64))
+                               / max(float(np.asarray(n, np.float64)),
+                                     1e-30))))
+                for name, (e, n) in {**enc_err, **dec_err}.items()
+            ),
+            key=lambda kv: -kv[1],
+        )
+        attribution = {
+            "preset": args.preset,
+            "weights_family": args.weights,
+            "equalized": bool(vae_calib),
+            "metric": "per-layer LOCAL output rel-err of the int8 conv vs "
+                      "bf16 on the same input (first-order attribution)",
+            "top10": [{"layer": k, "rel_err": round(v, 6)}
+                      for k, v in ranking[:10]],
+            "rel_err_by_layer": {k: round(v, 6) for k, v in ranking},
+        }
+        print(json.dumps({"attribution_top10": attribution["top10"]},
+                         indent=2))
+        if args.report and not args.compare:
+            Path(args.report).write_text(json.dumps(attribution, indent=2))
+            print(f"wrote {args.report}", file=sys.stderr)
 
     if args.compare:
         ref = np.load(args.compare)
@@ -418,6 +493,7 @@ def main():
             ),
             "sample_posterior": False,
             "equalized": bool(vae_calib),
+            "vae_exclude": list(exclude),
             "rel_err": {
                 "enc_moments": rel_err(stages["moments"], ref["moments"]),
                 "dit_x0": rel_err(stages["x0"], ref["x0"]),

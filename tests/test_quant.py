@@ -504,3 +504,127 @@ def test_quantize_vae_which_selector(tiny_models):
     assert "kernel_q" in enc_only["encoder"]["conv_out"]
     with pytest.raises(ValueError):
         quantize_vae(vae, which="nope")
+
+
+def test_quantize_vae_exclude_keeps_layers_bf16():
+    """The mixed-precision knob: excluded conv names stay bf16 leaves,
+    everything else quantizes; unknown names raise instead of silently
+    quantizing the layer they were meant to protect."""
+    from dove_tpu.models import vae as vae_mod
+
+    cfg, params = _vae64()
+    # pick a real quantizable decoder conv name via one attribution pass
+    lat = jax.random.normal(
+        jax.random.PRNGKey(4), (1, 2, 4, 4, cfg.latent_channels), jnp.float32
+    )
+    _, err = vae_mod.attribute_quant_error(
+        lambda z: vae_mod.decoder_forward(cfg, params["decoder"], z, None),
+        lat,
+    )
+    assert err, "no quantizable convs found"
+    victim = sorted(err)[0]
+
+    q = quantize_vae(params, donate=False, which="decoder",
+                     exclude=(victim,))
+
+    found = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            if "kernel" in node or "kernel_q" in node:
+                found[path] = "kernel_q" in node
+            for k, v in node.items():
+                walk(v, path + (k,))
+        elif isinstance(node, list):
+            for i, v in enumerate(node):
+                walk(v, path + (i,))
+
+    walk(q["decoder"], ("decoder",))
+    from dove_tpu.ops.quant import calib_name
+
+    by_name = {calib_name(p): is_q for p, is_q in found.items()}
+    assert by_name[victim] is False
+    # at least one other conv did quantize
+    assert any(v for v in by_name.values())
+
+    with pytest.raises(ValueError, match="exclude names"):
+        quantize_vae(params, donate=False, which="decoder",
+                     exclude=("decoder.not.a.conv",))
+
+
+def test_attribution_taps_rank_layers_without_changing_output():
+    """attribute_quant_error must (a) return a per-layer error for EVERY
+    conv the quantize policy would touch, (b) leave the bf16 forward's
+    output numerically unchanged (the taps only observe — but they do
+    perturb XLA's fp32 fusion choices, so "unchanged" means fusion-level
+    tolerance, not bit identity)."""
+    from dove_tpu.models import vae as vae_mod
+    from dove_tpu.ops.quant import calib_name, should_quantize_conv
+
+    cfg, params = _vae64()
+    lat = jax.random.normal(
+        jax.random.PRNGKey(7), (1, 2, 4, 4, cfg.latent_channels), jnp.float32
+    )
+    ref = vae_mod.decoder_forward(cfg, params["decoder"], lat, None)[0]
+    out, err = vae_mod.attribute_quant_error(
+        lambda z: vae_mod.decoder_forward(cfg, params["decoder"], z, None),
+        lat,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[0]), np.asarray(ref), rtol=1e-4, atol=1e-6
+    )
+
+    # every policy-quantizable decoder conv shows up in the ranking
+    expected = set()
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            if "kernel" in node and should_quantize_conv(node["kernel"]):
+                expected.add(calib_name(("decoder",) + path))
+            for k, v in node.items():
+                walk(v, path + (k,))
+        elif isinstance(node, list):
+            for i, v in enumerate(node):
+                walk(v, path + (i,))
+
+    walk(params["decoder"], ())
+    assert set(err) == expected and expected
+
+    rels = {
+        k: float(np.sqrt(float(e) / max(float(n), 1e-30)))
+        for k, (e, n) in err.items()
+    }
+    assert all(np.isfinite(v) and v >= 0 for v in rels.values())
+    assert max(rels.values()) > 0
+
+
+def test_exclude_worst_layer_reduces_decode_drift():
+    """Excluding the attribution's worst decoder conv must not increase —
+    and should measurably reduce — end-to-end decode drift vs bf16."""
+    from dove_tpu.models import vae as vae_mod
+
+    cfg, params = _vae64()
+    lat = jax.random.normal(
+        jax.random.PRNGKey(11), (1, 2, 4, 4, cfg.latent_channels),
+        jnp.float32,
+    )
+    dec = lambda p, z: vae_mod.decoder_forward(cfg, p, z, None)[0]
+    ref = dec(params["decoder"], lat)
+
+    _, err = vae_mod.attribute_quant_error(
+        lambda z: vae_mod.decoder_forward(cfg, params["decoder"], z, None),
+        lat,
+    )
+    worst = max(
+        err, key=lambda k: float(err[k][0]) / max(float(err[k][1]), 1e-30)
+    )
+
+    def drift(exclude):
+        q = quantize_vae(params, donate=False, which="decoder",
+                         exclude=exclude)
+        out = dec(q["decoder"], lat)
+        return float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+
+    full = drift(())
+    mixed = drift((worst,))
+    assert mixed <= full * 1.0001, (mixed, full)
