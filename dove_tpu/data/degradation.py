@@ -242,7 +242,7 @@ def compression_backend() -> str:
     quantified by scripts/degradation_backend_report.py
     (docs/reports/DEGRADATION_BACKEND.json).
     """
-    return "pyav" if _have_av() else "cv2-mp4v-fallback"
+    return "pyav" if _have_av() else "cv2-mp4v+rate-mjpeg-fallback"
 
 
 def _warn_fallback_once() -> None:
@@ -251,13 +251,16 @@ def _warn_fallback_once() -> None:
         return
     _BACKEND_WARNED = True
     logger.warning(
-        "PyAV is not importable: RandomVideoCompression is using the "
-        "cv2 mp4v temp-file FALLBACK — a different artifact family than "
-        "the reference's in-memory libx264/h264/mpeg4 ladder (the sampled "
-        "codec is ignored and the bitrate maps onto cv2's quality knob). "
-        "Training data synthesized here records "
-        "video_compression_backend=cv2-mp4v-fallback in train_log.jsonl; "
-        "see docs/reports/DEGRADATION_BACKEND.json for the measured gap."
+        "PyAV is not importable: RandomVideoCompression is using the cv2 "
+        "FALLBACK pair — sampled codec mpeg4 round-trips through cv2's "
+        "real MPEG-4 Part 2 encoder (exact codec family, but this build "
+        "has NO rate control: single operating point), while libx264/h264 "
+        "samples round-trip through a bitrate-TARGETED MJPEG (binary-"
+        "searched JPEG quality; honors the ladder's rate axis but is "
+        "intra-only, so inter-frame artifacts are absent). Training data "
+        "synthesized here records video_compression_backend="
+        "cv2-mp4v+rate-mjpeg-fallback in train_log.jsonl; see "
+        "docs/reports/DEGRADATION_BACKEND.json for the measured gap."
     )
 
 
@@ -275,7 +278,54 @@ class RandomVideoCompression:
         if _have_av():
             return self._av_roundtrip(frames, str(codec), bitrate)
         _warn_fallback_once()
-        return self._cv2_roundtrip(frames, bitrate)
+        # Fallback policy (closest-to-reference available in a PyAV-less
+        # env, VERDICT r4 item 7): a sampled mpeg4 keeps the exact codec
+        # family (cv2's real MPEG-4 Part 2 encoder — but this build has no
+        # rate control, so it is one operating point); sampled libx264/h264
+        # map onto the bitrate-TARGETED MJPEG round trip, which honors the
+        # ladder's rate axis (the severity knob the recipe actually sweeps)
+        # at the cost of intra-only artifacts.
+        if str(codec) == "mpeg4":
+            return self._cv2_roundtrip(frames, bitrate)
+        return self._mjpeg_roundtrip(frames, bitrate)
+
+    def _mjpeg_roundtrip(self, frames, bitrate, fps: float = 25.0,
+                         return_bytes: bool = False):
+        """Bitrate-targeted intra-only (MJPEG) round trip.
+
+        Binary-searches one JPEG quality for the whole clip so the total
+        encoded size hits the sampled bitrate — real DCT rate control with
+        the same 8x8-block artifact scaling as the reference ladder's low-
+        bitrate regime. q is clip-global (not per-frame greedy) to mimic a
+        constant-QP encode; decode is per frame."""
+        F = frames.shape[0]
+        target_bytes = max(int(bitrate / 8.0 * (F / fps)), F * 64)
+        u8 = np.clip(frames * 255.0, 0, 255).astype(np.uint8)
+        bgr = [cv2.cvtColor(f, cv2.COLOR_RGB2BGR) for f in u8]
+
+        def encode_all(q: int) -> list[np.ndarray]:
+            return [
+                cv2.imencode(".jpg", f, [cv2.IMWRITE_JPEG_QUALITY, q])[1]
+                for f in bgr
+            ]
+
+        lo, hi = 2, 95
+        best = encode_all(lo)  # even q=2 may exceed tiny targets: keep it
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            bufs = encode_all(mid)
+            if sum(b.nbytes for b in bufs) <= target_bytes:
+                best, lo = bufs, mid
+            else:
+                hi = mid - 1
+        out = np.empty_like(frames)
+        for i, buf in enumerate(best):
+            dec = cv2.imdecode(buf, cv2.IMREAD_COLOR)
+            out[i] = cv2.cvtColor(dec, cv2.COLOR_BGR2RGB).astype(
+                np.float32) / 255.0
+        if return_bytes:
+            return out, sum(b.nbytes for b in best)
+        return out
 
     def _av_roundtrip(self, frames, codec, bitrate):
         import io

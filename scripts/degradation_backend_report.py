@@ -139,6 +139,20 @@ def main():
     out = op._cv2_roundtrip(clip, bitrate=50_000)
     rows["cv2-mp4v-fallback"] = measure(clip, out, None)
 
+    # rate-targeted MJPEG fallback: the in-env ladder (VERDICT r4 item 7).
+    # These are the rate-controlled rows this environment CAN produce —
+    # real DCT rate control sweeping the same bitrate axis as the
+    # reference recipe; intra-only, so inter-frame artifacts are absent
+    # (see meta note for why no ffmpeg-family encoder is reachable here).
+    # 1e4/1e5 are the recipe's endpoints (they FLOOR at this probe-clip
+    # size: even q=2 exceeds the byte budget — real encoders bottom out the
+    # same way); the higher points show the controlled ladder actually
+    # sweeping. "bytes" is the achieved size vs target_bytes = bitrate/8 *
+    # F/fps (= bitrate * 0.08 here).
+    for bitrate in (10_000, 100_000, 300_000, 1_000_000, 3_000_000):
+        out, nbytes = op._mjpeg_roundtrip(clip, bitrate, return_bytes=True)
+        rows[f"cv2-rate-mjpeg-{bitrate}"] = measure(clip, out, nbytes)
+
     if _have_av():
         for codec in ("libx264", "h264", "mpeg4"):
             for bitrate in (10_000, 50_000, 100_000):
@@ -153,15 +167,23 @@ def main():
     merged = {}
     if out_path.exists():
         merged = json.loads(out_path.read_text())
-    merged.setdefault("meta", {
+    merged["meta"] = {
         "clip": "make_clip(16, 128) seed 20260819",
         "note": ("merge-friendly: re-run on a PyAV machine to add the "
                  "reference-ladder rows; cv2 rows measured where PyAV is "
                  "absent. Rate-control probes on this cv2 build: "
-                 "VIDEOWRITER_PROP_QUALITY set() returns False and "
+                 "VIDEOWRITER_PROP_QUALITY set() returns False, passing it "
+                 "via the params list fails VideoWriter open, and "
                  "OPENCV_FFMPEG_WRITER_OPTIONS is ignored (byte-identical "
-                 "outputs), so the fallback has no bitrate ladder."),
-    })
+                 "outputs) — the mp4v fallback has no bitrate ladder. "
+                 "No other encoder is reachable in-env (probed 2026-08-20): "
+                 "fourccs avc1/h264/x264 fail to open (no libx264 in this "
+                 "OpenCV's ffmpeg), PyAV and imageio-ffmpeg are not "
+                 "installed, and no ffmpeg binary exists on disk. The "
+                 "cv2-rate-mjpeg rows are the rate-CONTROLLED ladder this "
+                 "env can produce (binary-searched clip-global JPEG "
+                 "quality; intra-only)."),
+    }
     merged.setdefault("rows", {}).update(rows)
     out_path.parent.mkdir(parents=True, exist_ok=True)
     out_path.write_text(json.dumps(merged, indent=2) + "\n")
