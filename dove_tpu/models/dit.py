@@ -380,10 +380,35 @@ def dit_forward(
     else:
         rope = None
         if "pos_embedding" in params["patch_embed"]:
-            pos = params["patch_embed"]["pos_embedding"]
-            joint = jnp.concatenate([encoder, hidden], axis=1)
-            joint = joint + pos[:, : joint.shape[1]].astype(dtype)
-            encoder, hidden = joint[:, : encoder.shape[1]], joint[:, encoder.shape[1]:]
+            # diffusers semantics (CogVideoXPatchEmbed.forward): the stored
+            # sincos table is valid ONLY at the config's sample grid; any
+            # other geometry recomputes the table for the ACTUAL grid.
+            # (Slicing the sample-grid table by sequence length — the
+            # pre-round-5 behavior — walks w-major through the WRONG grid
+            # whenever serving geometry != sample geometry, e.g. 2B at VSR
+            # latents vs its 60x90 sample grid.) Shapes are static under
+            # jit, so the numpy recompute constant-folds at trace time.
+            grid = (F, Hh // cfg.patch_size, Ww // cfg.patch_size)
+            sample_grid = (
+                (cfg.sample_frames - 1) // cfg.temporal_compression_ratio + 1,
+                cfg.sample_height // cfg.patch_size,
+                cfg.sample_width // cfg.patch_size,
+            )
+            if grid == sample_grid:
+                pos = params["patch_embed"]["pos_embedding"]
+                joint = jnp.concatenate([encoder, hidden], axis=1)
+                joint = joint + pos[:, : joint.shape[1]].astype(dtype)
+                encoder = joint[:, : encoder.shape[1]]
+                hidden = joint[:, encoder.shape[1]:]
+            else:
+                from dove_tpu.ops.sincos import get_3d_sincos_pos_embed
+
+                pos = get_3d_sincos_pos_embed(
+                    cfg.hidden_dim, grid[2], grid[1], grid[0],
+                    cfg.spatial_interpolation_scale,
+                    cfg.temporal_interpolation_scale,
+                ).reshape(1, -1, cfg.hidden_dim)
+                hidden = hidden + jnp.asarray(pos, dtype)
 
     # Scanned block stack
     block_fn = _block

@@ -75,9 +75,9 @@ PSNR_BAR_DB = 50.0
 # so the check never regenerates them)
 # ---------------------------------------------------------------------------
 
-def make_inputs(cfg) -> dict[str, np.ndarray]:
+def make_inputs(cfg, geometry=(9, 64, 64)) -> dict[str, np.ndarray]:
     rng = np.random.default_rng(20260816)
-    F, H, W = 9, 64, 64
+    F, H, W = geometry
     Fl = cfg.vae.latent_frames(F)  # (F-1)//4 + 1
     h, w = H // cfg.vae.spatial_scale, W // cfg.vae.spatial_scale
     C = cfg.vae.latent_channels
@@ -167,8 +167,10 @@ def jax_outputs(cfg, dit_params, vae_params, inputs) -> dict[str, np.ndarray]:
         np.float32,
     )
 
-    # Block-0 tap: patchify + temb + rope, then ONE block with layer-0 params.
-    def block0(zz, tt):
+    # Block-prefix taps: patchify + temb + rope, then the first n blocks
+    # with per-layer params — localizes a numerics break to a block range
+    # (block0 = the original tap; blocklast = the full pre-norm stack).
+    def blocks_prefix(zz, tt, n_blocks: int):
         t_feat = dit_mod._timestep_embedding(
             tt, cfg.dit.hidden_dim, cfg.dit.flip_sin_to_cos, cfg.dit.freq_shift
         ).astype(zz.dtype)
@@ -179,31 +181,56 @@ def jax_outputs(cfg, dit_params, vae_params, inputs) -> dict[str, np.ndarray]:
         encoder = dit_mod._linear(
             dit_params["patch_embed"]["text_proj"], text.astype(zz.dtype)
         )
+        pt = cfg.dit.patch_size_t or 1
+        grid = (
+            zz.shape[1] // pt,
+            zz.shape[3] // cfg.dit.patch_size,
+            zz.shape[4] // cfg.dit.patch_size,
+        )
         if cfg.dit.use_rotary_positional_embeddings:
-            pt = cfg.dit.patch_size_t or 1
             rope = rope_3d(
-                cfg.dit.attention_head_dim,
-                zz.shape[1] // pt,
-                zz.shape[3] // cfg.dit.patch_size,
-                zz.shape[4] // cfg.dit.patch_size,
-                cfg.dit.rope_theta,
+                cfg.dit.attention_head_dim, *grid, cfg.dit.rope_theta,
             )
         else:
             rope = None
             if "pos_embedding" in dit_params["patch_embed"]:
-                pos = dit_params["patch_embed"]["pos_embedding"]
-                joint = jnp.concatenate([encoder, hidden], axis=1)
-                joint = joint + pos[:, : joint.shape[1]].astype(zz.dtype)
-                encoder = joint[:, : encoder.shape[1]]
-                hidden = joint[:, encoder.shape[1]:]
-        layer0 = jax.tree.map(lambda x: x[0], dit_params["blocks"])
-        hidden, _ = dit_mod._block(
-            cfg.dit, layer0, hidden, encoder, temb, rope, None, False,
-            None, None,  # tp_axis, sp: single-device semantics
-        )
+                # mirror models/dit.py: stored table at the sample grid,
+                # recompute for any other geometry (diffusers semantics)
+                sample_grid = (
+                    (cfg.dit.sample_frames - 1)
+                    // cfg.dit.temporal_compression_ratio + 1,
+                    cfg.dit.sample_height // cfg.dit.patch_size,
+                    cfg.dit.sample_width // cfg.dit.patch_size,
+                )
+                if grid == sample_grid:
+                    pos = dit_params["patch_embed"]["pos_embedding"]
+                    joint = jnp.concatenate([encoder, hidden], axis=1)
+                    joint = joint + pos[:, : joint.shape[1]].astype(zz.dtype)
+                    encoder = joint[:, : encoder.shape[1]]
+                    hidden = joint[:, encoder.shape[1]:]
+                else:
+                    from dove_tpu.ops.sincos import get_3d_sincos_pos_embed
+
+                    pos = get_3d_sincos_pos_embed(
+                        cfg.dit.hidden_dim, grid[2], grid[1], grid[0],
+                        cfg.dit.spatial_interpolation_scale,
+                        cfg.dit.temporal_interpolation_scale,
+                    ).reshape(1, -1, cfg.dit.hidden_dim)
+                    hidden = hidden + jnp.asarray(pos, zz.dtype)
+        for i in range(n_blocks):
+            layer = jax.tree.map(lambda x: x[i], dit_params["blocks"])
+            hidden, encoder = dit_mod._block(
+                cfg.dit, layer, hidden, encoder, temb, rope, None, False,
+                None, None,  # tp_axis, sp: single-device semantics
+            )
         return hidden
 
-    out["dit_block0_out"] = np.asarray(jax.jit(block0)(z, t), np.float32)
+    n_layers = jax.tree.leaves(dit_params["blocks"])[0].shape[0]
+    out["dit_block0_out"] = np.asarray(
+        jax.jit(lambda zz, tt: blocks_prefix(zz, tt, 1))(z, t), np.float32)
+    out["dit_blocklast_out"] = np.asarray(
+        jax.jit(lambda zz, tt: blocks_prefix(zz, tt, n_layers))(z, t),
+        np.float32)
 
     schedule = Schedule.create(cfg.scheduler)
     out["sched_alphas"] = np.asarray(schedule.alphas_cumprod, np.float32)

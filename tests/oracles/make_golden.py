@@ -65,10 +65,10 @@ def save_safetensors(sd: dict[str, torch.Tensor], path: Path) -> None:
     save_file({k: v.contiguous() for k, v in sd.items()}, str(path))
 
 
-def make_inputs(cfg) -> dict[str, np.ndarray]:
+def make_inputs(cfg, geometry=(9, 64, 64)) -> dict[str, np.ndarray]:
     """MUST match scripts/parity_check.py:make_inputs conventions."""
     rng = np.random.default_rng(20260816)
-    F, H, W = 9, 64, 64
+    F, H, W = geometry
     Fl = cfg.vae.latent_frames(F)
     h, w = H // cfg.vae.spatial_scale, W // cfg.vae.spatial_scale
     C = cfg.vae.latent_channels
@@ -100,7 +100,12 @@ def generate(variant: str, out_dir: Path) -> None:
                 max_text_seq_length=7, time_embed_dim=16,
                 patch_size_t=None, patch_bias=True,
                 use_rotary_positional_embeddings=False,
-                sample_height=64, sample_width=64, sample_frames=9,
+                # LATENT-unit sample grid (diffusers convention), matched
+                # to geometry a's actual latents (F9->3, 64px->8 latent) so
+                # geometry a exercises the stored-table branch and
+                # geometry b the recompute-on-mismatch branch — the two
+                # code paths of CogVideoXPatchEmbed.forward.
+                sample_height=8, sample_width=8, sample_frames=9,
             ),
             vae=base.vae,
             scheduler=cfg_mod.SchedulerConfig(snr_shift_scale=3.0),
@@ -121,54 +126,73 @@ def generate(variant: str, out_dir: Path) -> None:
         rescale_betas_zero_snr=cfg.scheduler.rescale_betas_zero_snr,
     )
 
-    inputs = make_inputs(cfg)
-    out: dict[str, np.ndarray] = {}
+    def run_oracles(inputs: dict[str, np.ndarray], last_tap: bool):
+        out: dict[str, np.ndarray] = {}
 
-    # VAE: dove_tpu convention is channels-last video [B,F,H,W,3]
-    video = torch.from_numpy(inputs["input_video"]).permute(0, 4, 1, 2, 3)
-    moments = vae.encode(video)  # [B, 2C, F', h, w]
-    out["vae_moments"] = moments.permute(0, 2, 3, 4, 1).numpy()
-    latent = torch.from_numpy(inputs["input_latent"]).permute(0, 4, 1, 2, 3)
-    out["vae_decode_out"] = vae.decode(latent).permute(0, 2, 3, 4, 1).numpy()
+        # VAE: dove_tpu convention is channels-last video [B,F,H,W,3]
+        video = torch.from_numpy(
+            inputs["input_video"]).permute(0, 4, 1, 2, 3)
+        moments = vae.encode(video)  # [B, 2C, F', h, w]
+        out["vae_moments"] = moments.permute(0, 2, 3, 4, 1).numpy()
+        latent = torch.from_numpy(
+            inputs["input_latent"]).permute(0, 4, 1, 2, 3)
+        out["vae_decode_out"] = vae.decode(
+            latent).permute(0, 2, 3, 4, 1).numpy()
 
-    # DiT at t=399 with the reference's rope prep (slice grid)
-    z = torch.from_numpy(inputs["dit_latent"])
-    text = torch.from_numpy(inputs["text_embeds"])
-    t = torch.full((1,), int(inputs["timestep"]), dtype=torch.long)
-    rope = None
-    if cfg.dit.use_rotary_positional_embeddings:
-        p, pt = cfg.dit.patch_size, cfg.dit.patch_size_t or 1
-        grid_h, grid_w = z.shape[3] // p, z.shape[4] // p
-        rope = get_3d_rotary_pos_embed_slice(
-            cfg.dit.attention_head_dim, (grid_h, grid_w),
-            z.shape[1] // pt, max_size=(grid_h, grid_w),
-            theta=cfg.dit.rope_theta)
-    tap: dict = {}
-    pred = dit(z, text, t, image_rotary_emb=rope, block0_tap=tap)
-    out["dit_out"] = pred.numpy()
-    out["dit_block0_out"] = tap["hidden"].numpy()
+        # DiT at t=399 with the reference's rope prep (slice grid)
+        z = torch.from_numpy(inputs["dit_latent"])
+        text = torch.from_numpy(inputs["text_embeds"])
+        t = torch.full((1,), int(inputs["timestep"]), dtype=torch.long)
+        rope = None
+        if cfg.dit.use_rotary_positional_embeddings:
+            p, pt = cfg.dit.patch_size, cfg.dit.patch_size_t or 1
+            grid_h, grid_w = z.shape[3] // p, z.shape[4] // p
+            rope = get_3d_rotary_pos_embed_slice(
+                cfg.dit.attention_head_dim, (grid_h, grid_w),
+                z.shape[1] // pt, max_size=(grid_h, grid_w),
+                theta=cfg.dit.rope_theta)
+        tap: dict = {}
+        pred = dit(z, text, t, image_rotary_emb=rope, block0_tap=tap)
+        out["dit_out"] = pred.numpy()
+        out["dit_block0_out"] = tap["hidden"].numpy()
+        if last_tap:  # per-block localization taps (VERDICT r4 item 8)
+            n = len(dit.transformer_blocks)
+            out["dit_blocklast_out"] = tap[f"hidden_{n - 1}"].numpy()
 
-    # Scheduler
-    out["sched_alphas"] = sched.alphas_cumprod.float().numpy()
-    out["sched_x0"] = sched.get_velocity(
-        pred.float(), torch.from_numpy(inputs["dit_latent"]), t).numpy()
-    # deterministic "noise": the frame-reversed latent (no RNG convention
-    # needs to match across frameworks this way)
-    noise = torch.from_numpy(inputs["dit_latent"][:, ::-1].copy())
-    out["sched_add_noise"] = sched.add_noise(
-        torch.from_numpy(inputs["dit_latent"]), noise, t).numpy()
+        # Scheduler
+        out["sched_alphas"] = sched.alphas_cumprod.float().numpy()
+        out["sched_x0"] = sched.get_velocity(
+            pred.float(), torch.from_numpy(inputs["dit_latent"]), t).numpy()
+        # deterministic "noise": the frame-reversed latent (no RNG
+        # convention needs to match across frameworks this way)
+        noise = torch.from_numpy(inputs["dit_latent"][:, ::-1].copy())
+        out["sched_add_noise"] = sched.add_noise(
+            torch.from_numpy(inputs["dit_latent"]), noise, t).numpy()
+        return out
 
     save_safetensors(vae.state_dict(), out_dir / "vae.safetensors")
     save_safetensors(dit.state_dict(), out_dir / "transformer.safetensors")
-    meta = {
-        "source": "tests/oracles torch re-implementation",
-        "variant": variant,
-        "torch": torch.__version__,
-        "timestep": int(inputs["timestep"]),
-        "sha256": {k: _sha256(v) for k, v in {**inputs, **out}.items()},
-    }
-    np.savez_compressed(out_dir / "golden.npz", meta=json.dumps(meta),
-                        **inputs, **out)
+
+    # Geometry a: the original fixture. Geometry b (golden_g2.npz): odd
+    # pixel-frame count whose latent count is even, non-square, odd DiT
+    # grid dims — the shape classes that have bitten (DMA width alignment,
+    # odd-frame temporal pooling), plus the sincos recompute branch for
+    # the 2b variant (actual grid != sample grid) and a final-block tap.
+    geoms = {"": (9, 64, 64),
+             "_g2": (13, 48, 80) if variant == "15" else (13, 32, 48)}
+    for suffix, geometry in geoms.items():
+        inputs = make_inputs(cfg, geometry)
+        out = run_oracles(inputs, last_tap=bool(suffix))
+        meta = {
+            "source": "tests/oracles torch re-implementation",
+            "variant": variant,
+            "geometry": list(geometry),
+            "torch": torch.__version__,
+            "timestep": int(inputs["timestep"]),
+            "sha256": {k: _sha256(v) for k, v in {**inputs, **out}.items()},
+        }
+        np.savez_compressed(out_dir / f"golden{suffix}.npz",
+                            meta=json.dumps(meta), **inputs, **out)
     total = sum(f.stat().st_size for f in out_dir.iterdir())
     print(f"[{variant}] wrote {out_dir} ({total / 1e6:.2f} MB): "
           f"{', '.join(sorted(out))}")

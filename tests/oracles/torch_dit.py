@@ -325,14 +325,35 @@ class CogVideoXTransformer3DModel(nn.Module):
 
         joint = self.patch_embed(encoder_hidden_states, hidden_states)
         if not cfg.use_rotary_positional_embeddings:
-            joint = joint + self.pos_embedding[:, : joint.shape[1]]
+            # diffusers CogVideoXPatchEmbed.forward: the registered table
+            # is used only at the config's sample grid; any other geometry
+            # recomputes the sincos embedding for the ACTUAL grid.
+            p = cfg.patch_size
+            grid = (Fr, H // p, W // p)
+            sample_grid = (
+                (cfg.sample_frames - 1) // cfg.temporal_compression_ratio
+                + 1,
+                cfg.sample_height // p, cfg.sample_width // p,
+            )
+            if grid == sample_grid:
+                joint = joint + self.pos_embedding[:, : joint.shape[1]]
+            else:
+                pos = get_3d_sincos_pos_embed(
+                    joint.shape[-1], (grid[2], grid[1]), grid[0],
+                    cfg.spatial_interpolation_scale,
+                    cfg.temporal_interpolation_scale)
+                pos = torch.from_numpy(pos).flatten(0, 1).float()
+                joint = joint.clone()
+                joint[:, text_len:] = joint[:, text_len:] + pos
         encoder = joint[:, :text_len]
         hidden = joint[:, text_len:]
 
         for i, block in enumerate(self.transformer_blocks):
             hidden, encoder = block(hidden, encoder, temb, image_rotary_emb)
-            if i == 0 and block0_tap is not None:
-                block0_tap["hidden"] = hidden.detach().clone()
+            if block0_tap is not None:
+                block0_tap[f"hidden_{i}"] = hidden.detach().clone()
+                if i == 0:  # legacy key, kept for the geometry-a fixtures
+                    block0_tap["hidden"] = hidden.detach().clone()
 
         if cfg.use_rotary_positional_embeddings:
             joint = self.norm_final(torch.cat([encoder, hidden], dim=1))

@@ -40,13 +40,22 @@ class CausalConv3d(nn.Module):
         self.height_pad = kh // 2
         self.width_pad = kw // 2
         self.conv = nn.Conv3d(cin, cout, kernel, stride=stride, dilation=dilation)
+        # streaming mode: the frame-sliced encode/decode (diffusers
+        # AutoencoderKLCogVideoX._encode/_decode conv_cache threading) —
+        # each chunk consumes the previous chunk's tail frames
+        self.streaming = False
+        self.stream_cache: torch.Tensor | None = None
 
     def forward(self, x: torch.Tensor, cache: torch.Tensor | None = None):
         kt = self.time_kernel_size
+        if cache is None and self.streaming:
+            cache = self.stream_cache
         if kt > 1:
             lead = [cache] if cache is not None else [x[:, :, :1]] * (kt - 1)
             x = torch.cat(lead + [x], dim=2)
         new_cache = x[:, :, -(kt - 1):].clone() if kt > 1 else None
+        if self.streaming:
+            self.stream_cache = new_cache
         x = F.pad(x, (self.width_pad, self.width_pad,
                       self.height_pad, self.height_pad))
         return self.conv(x), new_cache
@@ -292,11 +301,40 @@ class AutoencoderKLCogVideoX(nn.Module):
 
     def __init__(self, cfg):
         super().__init__()
+        self.cfg = cfg
         self.encoder = Encoder3D(cfg)
         self.decoder = Decoder3D(cfg)
 
+    def _frame_sliced(self, module: nn.Module, x: torch.Tensor,
+                      frame_batch_size: int) -> torch.Tensor:
+        """diffusers AutoencoderKLCogVideoX._encode/_decode frame batching:
+        chunks of frame_batch_size along time (the remainder rides with the
+        FIRST chunk), CausalConv3d caches threaded across chunks. GroupNorm
+        statistics and the shape-driven temporal up/downsample rules apply
+        PER CHUNK — chunked is the reference semantic, not an approximation
+        of the unchunked pass."""
+        num_frames = x.shape[2]
+        num_batches = max(num_frames // frame_batch_size, 1)
+        rem = num_frames % frame_batch_size
+        for m in module.modules():
+            if isinstance(m, CausalConv3d):
+                m.streaming, m.stream_cache = True, None
+        try:
+            outs = []
+            for i in range(num_batches):
+                start = frame_batch_size * i + (0 if i == 0 else rem)
+                end = frame_batch_size * (i + 1) + rem
+                outs.append(module(x[:, :, start:end]))
+            return outs[0] if len(outs) == 1 else torch.cat(outs, dim=2)
+        finally:
+            for m in module.modules():
+                if isinstance(m, CausalConv3d):
+                    m.streaming, m.stream_cache = False, None
+
     def encode(self, video: torch.Tensor) -> torch.Tensor:
-        return self.encoder(video)
+        return self._frame_sliced(self.encoder, video,
+                                  self.cfg.sample_frames_batch_size)
 
     def decode(self, latent: torch.Tensor) -> torch.Tensor:
-        return self.decoder(latent)
+        return self._frame_sliced(self.decoder, latent,
+                                  self.cfg.latent_frames_batch_size)

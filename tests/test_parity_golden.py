@@ -59,18 +59,25 @@ def _config(variant: str):
             max_text_seq_length=7, time_embed_dim=16,
             patch_size_t=None, patch_bias=True,
             use_rotary_positional_embeddings=False,
-            sample_height=64, sample_width=64, sample_frames=9,
+            # latent-unit sample grid == geometry a's grid (see
+            # tests/oracles/make_golden.py for why)
+            sample_height=8, sample_width=8, sample_frames=9,
         ),
         vae=base.vae,
         scheduler=cfg_mod.SchedulerConfig(snr_shift_scale=3.0),
     )
 
 
-@pytest.fixture(scope="module", params=["15", "2b"])
+@pytest.fixture(scope="module",
+                params=["15", "2b", "15:g2", "2b:g2"])
 def golden(request):
-    variant = request.param
+    # ":g2" = second geometry (odd pixel frames, non-square, odd grid dims
+    # + the 2b sincos recompute branch) — same committed state dicts,
+    # separate golden_g2.npz fixture (VERDICT r4 item 8)
+    variant, _, geom = request.param.partition(":")
     d = GOLDEN / variant
-    fx = dict(np.load(d / "golden.npz", allow_pickle=False))
+    fname = "golden_g2.npz" if geom else "golden.npz"
+    fx = dict(np.load(d / fname, allow_pickle=False))
     meta = json.loads(str(fx.pop("meta")))
     # integrity: committed fixtures must match their recorded checksums
     import parity_check as pc
@@ -88,7 +95,7 @@ def golden(request):
     dit_params = convert_dit(
         _load_safetensors(d / "transformer.safetensors"), cfg.dit, jnp.float32)
     outs = pc.jax_outputs(cfg, dit_params, vae_params, fx)
-    return variant, cfg, fx, outs
+    return request.param, cfg, fx, outs
 
 
 def _assert_parity(name: str, ours, golden_arr):
@@ -101,10 +108,12 @@ def _assert_parity(name: str, ours, golden_arr):
 @pytest.mark.parametrize(
     "module",
     ["vae_moments", "vae_decode_out", "dit_out", "dit_block0_out",
-     "sched_alphas", "sched_x0"],
+     "dit_blocklast_out", "sched_alphas", "sched_x0"],
 )
 def test_module_parity(golden, module):
     variant, cfg, fx, outs = golden
+    if module not in fx:  # geometry-a fixtures predate the last-block tap
+        pytest.skip(f"{module} not in this fixture")
     _assert_parity(f"{variant}:{module}", outs[module], fx[module])
 
 
