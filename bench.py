@@ -159,6 +159,14 @@ def main():
                     help="comma-separated VAE conv names kept in bf16 "
                          "(mirrors the serving config's mixed-precision "
                          "exclusions so the measured program matches)")
+    ap.add_argument("--row100", dest="row100", action="store_true",
+                    default=None,
+                    help="also measure the 100-frame long-clip row "
+                         "(BASELINE.md north star: <10 s/chip) and embed "
+                         "it as detail.row_100frames. Default: on for the "
+                         "flagship preset at the headline geometry")
+    ap.add_argument("--no-row100", dest="row100", action="store_false")
+    ap.add_argument("--row100_repeats", type=int, default=3)
     ap.add_argument("--data_parallel", type=int, default=1,
                     help="multi-chip mesh 'data' axis (temporal chunks / "
                          "spatial windows shard); needs that many devices")
@@ -250,6 +258,47 @@ def main():
     clip_seconds = times[best]
     stage_split = {k: round(v, 2) for k, v in stage_splits[best].items()}
 
+    # Standing long-clip row (VERDICT r4 item 3): the 100-frame clip is the
+    # BASELINE.md north-star geometry (<10 s/chip). Measured through the
+    # streaming segmented path (process_frames auto-streams past 33 frames).
+    row100 = None
+    if args.row100 is None:
+        args.row100 = (args.preset == "cogvideox1.5-5b" and args.frames == 32
+                       and not args.tiny and tuple(args.tile) == (0, 0))
+    if args.row100:
+        frames100 = rng.random((100, args.height, args.width, 3), np.float32)
+        t0 = time.time()
+        out100 = pipe.process_frames(
+            frames100, chunk_len=args.chunk_len,
+            tile_size_hw=tuple(args.tile), tile_batch=args.tile_batch,
+            mesh=mesh,
+        )
+        first100 = time.time() - t0
+        t100, splits100 = [], []
+        for _ in range(args.row100_repeats):
+            t0 = time.time()
+            out100 = pipe.process_frames(
+                frames100, chunk_len=args.chunk_len,
+                tile_size_hw=tuple(args.tile), tile_batch=args.tile_batch,
+                mesh=mesh,
+            )
+            t100.append(time.time() - t0)
+            splits100.append(dict(pipe.stage_times))
+        b100 = int(np.argmin(t100))
+        row100 = {
+            "metric": "one_step_4x_vsr_100frame_seconds",
+            "value": round(t100[b100], 3),
+            "unit": f"s per 100-frame {args.height * 4}x{args.width * 4} "
+                    f"clip ({n_mesh} chip{'s' if n_mesh > 1 else ''})",
+            "north_star_s_per_chip": 10.0,
+            "vs_north_star": round(10.0 / t100[b100], 3),
+            "stage_seconds": {k: round(v, 2)
+                              for k, v in splits100[b100].items()},
+            "all_repeats_s": [round(t, 2) for t in t100],
+            "first_pass_with_compile_s": round(first100, 2),
+            "output_shape": list(out100.shape),
+        }
+
     out_frames = out.shape[0]
     fps = out_frames / clip_seconds
     result = {
@@ -273,6 +322,7 @@ def main():
             "quantize": args.quantize,
             "mesh": {"data": args.data_parallel, "model": args.tensor_parallel}
                     if mesh is not None else None,
+            "row_100frames": row100,
         },
     }
     print(json.dumps(result))
