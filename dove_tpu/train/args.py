@@ -153,11 +153,23 @@ class Args(BaseModel):
     @classmethod
     def _check_resolution(cls, v: Tuple[int, int, int]) -> Tuple[int, int, int]:
         f, h, w = v
-        if (f - 1) % 4 != 0:
-            raise ValueError(f"frames must satisfy (F-1)%4==0, got {f}")
         if h % 16 or w % 16:
             raise ValueError(f"H and W must be multiples of 16, got {h}x{w}")
         return v
+
+    @model_validator(mode="after")
+    def _check_frame_rule(self) -> "Args":
+        # Stage 2 encodes PER FRAME (each frame an independent 1-frame clip,
+        # reference lora_one_s2_trainer.py:141-145), so any F >= 1 is legal —
+        # the published S2 recipe is 2x320x640 (train_ddp_one_s2.sh:31).
+        # Clip-level encode (stage 1) needs the causal-VAE frame rule.
+        f = self.train_resolution[0]
+        if not self.model_name.endswith("s2") and (f - 1) % 4 != 0:
+            raise ValueError(
+                f"frames must satisfy (F-1)%4==0 for clip-level VAE encode, "
+                f"got {f} (stage-2 trainers encode per frame and accept any F)"
+            )
+        return self
 
     @model_validator(mode="after")
     def _check_validation(self) -> "Args":

@@ -27,7 +27,10 @@ def fmt(n):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quantize", default=None,
-                    choices=["int8", "int8-dit", "int8-vae"])
+                    choices=["int8", "int8-dit", "int8-vae", "int8w",
+                             "int8-dit-dec"])
+    ap.add_argument("--exclude", type=str, default="",
+                    help="comma list of VAE convs kept bf16 (or 'lowres')")
     ap.add_argument("--frames", type=int, default=33)
     ap.add_argument("--height", type=int, default=180)
     ap.add_argument("--width", type=int, default=320)
@@ -37,8 +40,10 @@ def main():
 
     import bench as bench_mod
 
-    pipe = bench_mod.build_pipeline("cogvideox1.5-5b", vae_tiling=True,
-                                    quantize=args.quantize)
+    pipe = bench_mod.build_pipeline(
+        "cogvideox1.5-5b", vae_tiling=True, quantize=args.quantize,
+        exclude=tuple(n for n in args.exclude.split(",") if n.strip()),
+    )
     if args.dec_cap:
         # direct field set (dataclasses.replace would re-run __post_init__
         # and double-quantize); read at trace time in _window_budget

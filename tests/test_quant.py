@@ -236,8 +236,12 @@ def test_equalization_beats_plain_quant_on_outlier_channels():
     # costs weight precision (per-cout scales can't absorb per-cin factors)
     # so the net win is ~+3.7 dB here, not the full activation-side gap —
     # measured optimum across alpha (scripts history: 0.25/0.5/0.75/1.0
-    # gave 38.4/38.9/37.4/33.8 vs 35.2 plain)
-    assert snr_eq > snr_plain + 3.0, (snr_plain, snr_eq)
+    # gave 38.4/38.9/37.4/33.8 vs 35.2 plain). With the runtime MSE tail
+    # clip (round 5) the PLAIN grid recovers part of the range the gains
+    # waste, so the eq-over-plain margin narrows to ~+2.8 dB
+    # (35.4 -> 38.2) — the combined scheme is strictly better than either.
+    assert snr_eq > snr_plain + 2.0, (snr_plain, snr_eq)
+    assert snr_eq > 37.5, snr_eq
 
 
 def test_qlinear_per_row_scales_ignore_outlier_tokens():
@@ -628,3 +632,144 @@ def test_exclude_worst_layer_reduces_decode_drift():
     full = drift(())
     mixed = drift((worst,))
     assert mixed <= full * 1.0001, (mixed, full)
+
+
+def test_tail_clip_reduces_error_on_heavy_tails():
+    """The runtime MSE-optimal range search must beat the full-range asym
+    grid on heavy-tailed tensors (trained-checkpoint activation regime) and
+    never lose elsewhere (c=1.0 is a candidate)."""
+    from dove_tpu.ops.quant import dynamic_quant_asym
+
+    rng = np.random.default_rng(3)
+    heavy = jnp.asarray(
+        rng.standard_t(4, size=(4, 64, 64, 32)) * np.exp(rng.normal(0, 0.6, 32)),
+        jnp.float32,
+    )
+
+    def err(x, tail):
+        q, s, m = dynamic_quant_asym(x, tail_clip=tail)
+        deq = q.astype(jnp.float32) * s + m
+        return float(jnp.linalg.norm(deq - x) / jnp.linalg.norm(x))
+
+    # the search lands within a whisker of the tensor's true symmetric-clip
+    # optimum (fine scan: ~0.065 at c~0.45 vs 0.078 full-range)
+    assert err(heavy, True) < err(heavy, False) * 0.85
+    # SiLU-shaped tail (the VAE's dominant conv-input family): bigger win
+    silu = jnp.asarray(
+        np.maximum(rng.standard_t(4, size=(4, 64, 64, 32)), -0.278)
+        * np.exp(rng.normal(0, 0.6, 32)),
+        jnp.float32,
+    )
+    assert err(silu, True) < err(silu, False) * 0.82
+    # benign tensor: the search must not do worse than full range
+    mild = jnp.asarray(rng.normal(size=(4, 64, 64, 32)), jnp.float32)
+    assert err(mild, True) <= err(mild, False) * 1.0001
+
+
+def test_weight_clip_search_never_worse_and_noop_on_gaussian():
+    """quantize_weight's MSE clip search includes ratio 1.0, so it can only
+    match or beat the amax grid; on fan-in Gaussian kernels the measured
+    optimum IS the amax grid (documented no-op — quant.py docstring)."""
+    rng = np.random.default_rng(4)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 64, 64)) * (27 * 64) ** -0.5,
+                    jnp.float32)
+
+    def err(n):
+        q, s = quantize_weight(w, n)
+        return float(jnp.linalg.norm(q.astype(jnp.float32) * s - w))
+
+    assert err(9) <= err(0) * 1.0001
+    np.testing.assert_allclose(err(9), err(0), rtol=1e-6)  # picks 1.0
+
+
+def test_lowres_decoder_exclusions_and_pipeline_alias():
+    """The named exclusion set covers exactly the below-full-res decoder
+    convs, and DovePipeline expands the literal "lowres"."""
+    from dove_tpu.ops.quant import lowres_decoder_exclusions
+
+    cfg, params = _vae64()
+    names = lowres_decoder_exclusions(params)
+    # n_up = 2 here -> no low-res up levels; only the mid block qualifies
+    assert names and all(n.startswith("decoder.mid") for n in names)
+    q = quantize_vae(params, donate=False, which="decoder", exclude=names)
+    for i in (0, 1):
+        assert "kernel" in q["decoder"]["mid_block"]["resnets"][i]["conv1"]
+    up0 = q["decoder"]["up_blocks"][0]["resnets"][0]["conv1"]
+    assert "kernel_q" in up0
+
+    # the pipeline alias expands against the flagship structure: fabricate
+    # a 4-level decoder skeleton and check the split
+    skel = {"decoder": {"up_blocks": [
+        {"resnets": [{"conv1": {"kernel": jnp.zeros((3, 3, 3, 64, 64))}}]}
+        for _ in range(4)
+    ], "mid_block": {"resnets": [
+        {"conv2": {"kernel": jnp.zeros((3, 3, 3, 64, 64))}}
+    ]}}}
+    got = lowres_decoder_exclusions(skel)
+    assert "decoder.mid.0.conv2" in got
+    assert "decoder.up.0.res.0.conv1" in got
+    assert "decoder.up.1.res.0.conv1" in got
+    assert not any(n.startswith("decoder.up.2") or n.startswith("decoder.up.3")
+                   for n in got)
+
+
+def test_gptq_tap_rounding_beats_rtn_on_correlated_inputs():
+    """GPTQ error feedback over the tap axis must cut conv OUTPUT error
+    vs round-to-nearest when inputs are spatially correlated (they always
+    are for decoder features), at identical scales/serving program."""
+    from dove_tpu.models.vae import _tap_autocorr, causal_conv3d
+    from dove_tpu.ops.quant import gptq_tap_rounding
+
+    rng = np.random.default_rng(7)
+    # smooth field: average pooling of noise induces neighbor correlation
+    x = rng.normal(size=(1, 7, 40, 40, 16)).astype(np.float32)
+    k = np.ones((1, 3, 5, 5, 1), np.float32)
+    from scipy.ndimage import uniform_filter
+
+    x = uniform_filter(x, size=(1, 3, 5, 5, 1)).astype(np.float32)
+    x = np.maximum(x / x.std() * 1.3, -0.278)
+    xj = jnp.asarray(x)
+    corr = _tap_autocorr(xj)
+    assert float(corr[2, 2, 2]) == pytest.approx(1.0, rel=1e-5)
+    assert float(corr[2, 2, 3]) > 0.5  # the premise: smooth features
+
+    w = jnp.asarray(
+        rng.standard_t(4, size=(3, 3, 3, 16, 16)) * (27 * 16) ** -0.5,
+        jnp.float32,
+    )
+    amax = jnp.max(jnp.abs(w), axis=(0, 1, 2, 3))
+    s = amax / 127.0
+    y_ref, _ = causal_conv3d({"kernel": w}, xj, None)
+
+    def oerr(wq):
+        y, _ = causal_conv3d(
+            {"kernel": wq.astype(jnp.float32) * s}, xj, None
+        )
+        return float(jnp.linalg.norm(y - y_ref) / jnp.linalg.norm(y_ref))
+
+    rtn = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    gp = gptq_tap_rounding(w, s, corr)
+    assert gp.dtype == jnp.int8 and gp.shape == w.shape
+    assert oerr(gp) < oerr(rtn) * 0.75, (oerr(gp), oerr(rtn))
+
+
+def test_calibrate_captures_tapcorr_and_quantize_uses_it():
+    """vae.calibrate now records per-conv tap autocorrelation; quantize_vae
+    must pick it up (GPTQ rounding) without changing the serving keys."""
+    from dove_tpu.models import vae as vae_mod
+
+    cfg, params = _vae64()
+    lat = jax.random.normal(
+        jax.random.PRNGKey(8), (1, 2, 4, 4, cfg.latent_channels), jnp.float32
+    )
+    _, stats = vae_mod.calibrate(
+        lambda z: vae_mod.decoder_forward(cfg, params["decoder"], z, None),
+        lat,
+    )
+    tap_keys = [k for k in stats if k.endswith("#tapcorr")]
+    assert tap_keys and all(stats[k].shape == (5, 5, 5) for k in tap_keys)
+    q = quantize_vae(params, donate=False, which="decoder", calib=stats)
+    leaf = q["decoder"]["mid_block"]["resnets"][0]["conv1"]
+    assert set(leaf) >= {"kernel_q", "kernel_scale", "kernel_ksum",
+                         "equalize_inv"}
+    assert leaf["kernel_q"].dtype == jnp.int8
