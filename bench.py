@@ -320,6 +320,7 @@ def main():
             "device": str(jax.devices()[0]),
             "preset": args.preset,
             "quantize": args.quantize,
+            "vae_exclude": [n for n in args.exclude.split(",") if n.strip()],
             "mesh": {"data": args.data_parallel, "model": args.tensor_parallel}
                     if mesh is not None else None,
             "row_100frames": row100,

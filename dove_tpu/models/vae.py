@@ -316,11 +316,13 @@ def causal_conv3d(
                 ksum_correction,
             )
 
-            xs_in = equalize_input(p, xs)
             if "kernel_ksum" in p:  # asymmetric activations (quant.py)
-                xs_q, s_x, m_x = dynamic_quant_asym(xs_in)
+                # equalization folds INTO the quantizer (no fp32 buffer)
+                xs_q, s_x, m_x = dynamic_quant_asym(
+                    xs, eq_inv=p.get("equalize_inv")
+                )
             else:
-                xs_q, s_x = dynamic_quant(xs_in)
+                xs_q, s_x = dynamic_quant(equalize_input(p, xs))
                 m_x = None
             acc = conv2d_raw(xs_q, kernel, jnp.int32)
             y = acc.astype(jnp.float32) * (s_x * p["kernel_scale"])
@@ -345,11 +347,11 @@ def causal_conv3d(
         )
 
         pad3 = ((0, 0), (pad_h, pad_h), (pad_w, pad_w))
-        x_in = equalize_input(p, x)
         if "kernel_ksum" in p:  # asymmetric activations (quant.py)
-            x_q, s_x, m_x = dynamic_quant_asym(x_in)
+            # equalization folds INTO the quantizer (no fp32 buffer)
+            x_q, s_x, m_x = dynamic_quant_asym(x, eq_inv=p.get("equalize_inv"))
         else:
-            x_q, s_x = dynamic_quant(x_in)
+            x_q, s_x = dynamic_quant(equalize_input(p, x))
             m_x = None
         acc = jax.lax.conv_general_dilated(
             x_q, kernel_leaf, (1, 1, 1), pad3,
@@ -608,42 +610,73 @@ def encoder_forward(
 
 
 def decoder_forward(
-    cfg: VAEConfig, params: Params, z: jnp.ndarray, cache: Cache | None
+    cfg: VAEConfig, params: Params, z: jnp.ndarray, cache: Cache | None,
+    remat: bool = False,
 ) -> tuple[jnp.ndarray, Cache]:
     """Latent [B, F', H/8, W/8, latent] -> pixels [B, F, H, W, 3] in [-1, 1].
 
     ``cache is None`` marks the CLIP's first segment: the leading latent is
     the causally-special first frame (odd-length temporal upsampling, causal
     left padding). With a cache, this is a continuation segment — uniform
-    temporal upsampling and conv left-context from the cache."""
+    temporal upsampling and conv left-context from the cache.
+
+    ``remat`` checkpoints each decoder LEVEL (mid block; each up level
+    incl. its upsampler) with jax.checkpoint: the stage-2 decode-WITH-GRAD
+    backward then saves only the ~5 level-boundary tensors and recomputes
+    one level at a time. Level granularity matters — per-RESNET
+    checkpointing saves every block input, and at the full-res levels
+    those are the same size as the activations it avoids (AOT-measured: no
+    temp reduction), while level inputs are 4-16x coarser. This is the
+    lever that shrinks the published S2 pixel loss's step footprint
+    (docs/reports/TRAIN_AOT.json); inference never needs it."""
     global _CALIB_SCOPE
     if _CALIB is not None or _QERR is not None:
         _CALIB_SCOPE = "decoder"
     first = cache is None
     cache = cache or {}
     nc: Cache = {}
+
+    def run_level(fn, p, h, zq):
+        if not remat:
+            nc2: Cache = {}
+            out = fn(p, h, zq, nc2)
+            nc.update(nc2)
+            return out
+
+        def pure(pp, hh, zz):
+            nc2: Cache = {}
+            return fn(pp, hh, zz, nc2), nc2
+
+        out, nc2 = jax.checkpoint(pure)(p, h, zq)
+        nc.update(nc2)
+        return out
+
     h, nc["conv_in"] = causal_conv3d(
         params["conv_in"], z, cache.get("conv_in"), name="conv_in"
     )
 
-    for j in range(2):
-        h = _resnet(
-            cfg, params["mid_block"]["resnets"][j], h, z, cache, nc,
-            f"mid.{j}", first,
-        )
+    def mid_level(p, h, zq, nc2):
+        for j in range(2):
+            h = _resnet(cfg, p["resnets"][j], h, zq, cache, nc2,
+                        f"mid.{j}", first)
+        return h
+
+    h = run_level(mid_level, params["mid_block"], h, z)
 
     n_blocks = len(cfg.block_out_channels)
     for i in range(n_blocks):
-        bp = params["up_blocks"][i]
-        for j in range(cfg.layers_per_block + 1):
-            h = _resnet(
-                cfg, bp["resnets"][j], h, z, cache, nc, f"up.{i}.res.{j}", first
-            )
-        if i < n_blocks - 1:
-            h = _upsample(
-                bp["upsampler"], h, i < cfg.temporal_compress_level, first,
-                name=f"up.{i}.upsample",
-            )
+        def up_level(p, h, zq, nc2, i=i):
+            for j in range(cfg.layers_per_block + 1):
+                h = _resnet(cfg, p["resnets"][j], h, zq, cache, nc2,
+                            f"up.{i}.res.{j}", first)
+            if i < n_blocks - 1:
+                h = _upsample(
+                    p["upsampler"], h, i < cfg.temporal_compress_level,
+                    first, name=f"up.{i}.upsample",
+                )
+            return h
+
+        h = run_level(up_level, params["up_blocks"][i], h, z)
 
     h = jax.nn.silu(
         _spatial_norm3d(
@@ -736,6 +769,7 @@ def decode_cached(
     latent: jnp.ndarray,
     cache: Cache | None,
     chunk_frames: int | None = None,
+    remat: bool = False,
 ) -> tuple[jnp.ndarray, Cache]:
     """Segment decode threading the causal conv cache ACROSS calls.
 
@@ -748,18 +782,21 @@ def decode_cached(
     chunk = chunk_frames or cfg.latent_frames_batch_size
     outs = []
     for s, e in _frame_chunks(latent.shape[1], chunk):
-        y, cache = decoder_forward(cfg, params["decoder"], latent[:, s:e], cache)
+        y, cache = decoder_forward(
+            cfg, params["decoder"], latent[:, s:e], cache, remat=remat
+        )
         outs.append(y)
     pixels = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
     return pixels, cache
 
 
 def decode(
-    cfg: VAEConfig, params: Params, latent: jnp.ndarray, chunk_frames: int | None = None
+    cfg: VAEConfig, params: Params, latent: jnp.ndarray, chunk_frames: int | None = None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Full-clip decode with latent-frame chunking. latent: [B, F', h, w, C]
     already divided by scaling_factor."""
-    pixels, _ = decode_cached(cfg, params, latent, None, chunk_frames)
+    pixels, _ = decode_cached(cfg, params, latent, None, chunk_frames, remat=remat)
     return pixels
 
 

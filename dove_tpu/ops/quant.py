@@ -111,7 +111,8 @@ _SYM_CLIP_CANDIDATES = (0.2, 0.35, 0.5, 0.65, 0.8)
 
 
 def dynamic_quant_asym(
-    x: jnp.ndarray, tail_clip: bool = True
+    x: jnp.ndarray, tail_clip: bool = True,
+    eq_inv: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """ASYMMETRIC per-tensor int8: x ~= s * x_q + m (s, m fp32 scalars).
 
@@ -143,10 +144,32 @@ def dynamic_quant_asym(
     ~1/C of the main conv's FLOPs), see qconv/causal_conv3d. Saturation
     keeps that fold exact: the dequantized tensor is still s*x_q + m
     elementwise, clipping only changes which x_q the quantizer picked.
+
+    eq_inv (per-input-channel fp32, positive) folds the SmoothQuant
+    pre-scale INTO the quantizer: the returned x_q/s/m quantize x*eq_inv
+    WITHOUT ever materializing a full fp32 copy of the scaled tensor
+    (AOT-measured: that copy put equalized 46x42 dec_all temps at 14.3-
+    16.7G vs 10.2G unequalized — an OOM next to the 6.3G residency).
+    Three exactness-preserving moves:
+      * global extrema from per-channel bf16 extrema scaled by eq_inv
+        (exact: eq_inv > 0, max commutes with positive per-channel scale);
+      * the candidate-MSE search runs on a SPATIALLY subsampled slice
+        (every 16th position, ALL channels — the argmin over ~12 coarse
+        grid ranges is insensitive to 1/16 sampling);
+      * the final quantize is one fused elementwise chain
+        x -> round(x*(eq_inv/s) - m/s) -> int8 (single consumer, no
+        intermediate buffer).
     """
-    xf = x.astype(jnp.float32)
-    amax = jnp.max(xf)
-    amin = jnp.min(xf)
+    ch_axes = tuple(range(x.ndim - 1))
+    if eq_inv is not None:
+        e = eq_inv.astype(jnp.float32).reshape(-1)
+        cmax = jnp.max(x.astype(jnp.float32), axis=ch_axes)
+        cmin = jnp.min(x.astype(jnp.float32), axis=ch_axes)
+        amax = jnp.max(cmax * e)
+        amin = jnp.min(cmin * e)
+    else:
+        amax = jnp.max(x.astype(jnp.float32))
+        amin = jnp.min(x.astype(jnp.float32))
     if tail_clip:
         ct = jnp.asarray(_TAIL_CLIP_CANDIDATES, jnp.float32)
         cs = jnp.asarray(_SYM_CLIP_CANDIDATES, jnp.float32)
@@ -156,10 +179,19 @@ def dynamic_quant_asym(
         m_c = 0.5 * (hi + lo)
         s_c = jnp.maximum((hi - lo) / 254.0, _EPS)
 
+        # spatial subsample: every 16th position, all channels (a flat
+        # stride would alias a fixed channel subset)
+        x2 = x.reshape(-1, x.shape[-1])
+        if x2.shape[0] > (1 << 14):
+            x2 = x2[::16]
+        xs = x2.astype(jnp.float32)
+        if eq_inv is not None:
+            xs = xs * e
+
         def err(args):
             s, m = args
-            q = jnp.clip(jnp.round((xf - m) / s), -127, 127)
-            return jnp.sum(jnp.square(q * s + m - xf))
+            q = jnp.clip(jnp.round((xs - m) / s), -127, 127)
+            return jnp.sum(jnp.square(q * s + m - xs))
 
         errs = jax.lax.map(err, (s_c, m_c))
         best = jnp.argmin(errs)
@@ -167,7 +199,16 @@ def dynamic_quant_asym(
     else:
         m = 0.5 * (amax + amin)
         s = jnp.maximum((amax - amin) / 254.0, _EPS)
-    x_q = jnp.clip(jnp.round((xf - m) / s), -127, 127).astype(jnp.int8)
+    if eq_inv is not None:
+        shape = (1,) * (x.ndim - 1) + (-1,)
+        x_q = jnp.clip(
+            jnp.round(x.astype(jnp.float32) * (e / s).reshape(shape) - m / s),
+            -127, 127,
+        ).astype(jnp.int8)
+    else:
+        x_q = jnp.clip(
+            jnp.round((x.astype(jnp.float32) - m) / s), -127, 127
+        ).astype(jnp.int8)
     return x_q, s, m
 
 
@@ -305,11 +346,11 @@ def qconv(
     folded into the stored weights, see _quantize_leaf_dict) — exact in
     fp32, it only re-allocates the quantization grids between channels.
     """
-    xin = equalize_input(p, x)
     if "kernel_ksum" in p:
-        x_q, s_x, m_x = dynamic_quant_asym(xin)
+        # equalization folds INTO the quantizer (no fp32 pre-scale buffer)
+        x_q, s_x, m_x = dynamic_quant_asym(x, eq_inv=p.get("equalize_inv"))
     else:
-        x_q, s_x = dynamic_quant(xin)
+        x_q, s_x = dynamic_quant(equalize_input(p, x))
         m_x = None
     acc = jax.lax.conv_general_dilated(
         x_q, p["kernel_q"], strides, padding,

@@ -211,7 +211,15 @@ def stage2_loss(
     # latent frame counts match exactly and decode memory stays bounded.
     B, Fl = z.shape[:2]
     z_frames = z.reshape((B * Fl, 1) + z.shape[2:])
-    pred = vae_mod.decode(cfg.vae, vae_params, z_frames)  # [B*F, 1, H, W, 3]
+    # remat follows the trainer's gradient_checkpointing flag (fwd_kwargs):
+    # per-resnet checkpointing in the decode backward keeps ONE block's
+    # activations live instead of the whole decoder's (~4x lower step temps,
+    # docs/reports/TRAIN_AOT.json) — the published S2 recipe needs it to
+    # fit a 16 GB chip.
+    pred = vae_mod.decode(
+        cfg.vae, vae_params, z_frames,
+        remat=bool(fwd_kwargs.get("remat")),
+    )  # [B*F, 1, H, W, 3]
     pred = pred.reshape((B, Fl) + pred.shape[2:])  # [B, F, H, W, 3], [-1,1]
     hq = batch["hq_video"].astype(pred.dtype)
 

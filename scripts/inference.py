@@ -87,10 +87,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "component (drift/speed frontier points — see "
                         "docs/reports/QUANT_FRONTIER.md)")
     p.add_argument("--vae_calib", type=str, default=None,
-                   help="npz of per-conv per-channel activation amax "
+                   help="npz of per-conv calibration stats "
                         "(scripts/int8_drift_report.py --calib_out): folds "
-                        "SmoothQuant-style channel equalization into the "
-                        "quantized VAE convs (int8/int8-vae/int8-dit-dec)")
+                        "SmoothQuant-style channel equalization — and, when "
+                        "the npz carries #tapcorr entries, GPTQ tap-space "
+                        "weight rounding — into the quantized VAE convs "
+                        "(int8/int8-vae/int8-dit-dec)")
+    p.add_argument("--vae_exclude", type=str, default="",
+                   help="comma list of VAE conv names kept in bf16 inside a "
+                        "quantized VAE (mixed precision), or the literal "
+                        "'lowres' for the cost-aware below-full-res decoder "
+                        "set (ops/quant.py lowres_decoder_exclusions)")
     p.add_argument("--data_parallel", type=int, default=0,
                    help="N-chip data mesh: shards tile batches (fused path) "
                         "or temporal chunks (staged --is_vae_st path) — "
@@ -204,6 +211,9 @@ def load_pipeline(args):
         prompt_embedding=prompt_embedding, dtype=dtype,
         vae_tiling=args.is_vae_st,
         quantize=args.quantize,
+        vae_exclude=tuple(
+            n for n in args.vae_exclude.split(",") if n.strip()
+        ),
         vae_calib=(
             {k: jnp.asarray(v) for k, v in np.load(args.vae_calib).items()}
             if args.vae_calib else None

@@ -264,3 +264,24 @@ def test_cached_segment_decode_matches_whole_with_odd_tail():
     np.testing.assert_array_equal(
         np.asarray(whole), np.asarray(jnp.concatenate(outs, axis=1))
     )
+
+
+def test_decode_remat_matches_plain_forward_and_grad():
+    """Per-resnet checkpointing (stage-2's memory lever) must be a pure
+    memory/recompute trade: identical pixels and identical gradients."""
+    from dove_tpu.config import tiny_test
+    from dove_tpu.models.vae import decode, init_vae_params
+
+    cfg = tiny_test().vae
+    p = init_vae_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    z = jax.random.normal(
+        jax.random.PRNGKey(1), (1, 2, 4, 4, cfg.latent_channels), jnp.float32
+    )
+    y0 = decode(cfg, p, z)
+    y1 = decode(cfg, p, z, remat=True)
+    assert float(jnp.abs(y0 - y1).max()) == 0.0
+
+    g0 = jax.grad(lambda pp: jnp.sum(decode(cfg, pp, z) ** 2))(p)
+    g1 = jax.grad(lambda pp: jnp.sum(decode(cfg, pp, z, remat=True) ** 2))(p)
+    diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), g0, g1)
+    assert max(jax.tree.leaves(diffs)) == 0.0
