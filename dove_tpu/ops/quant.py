@@ -228,11 +228,12 @@ def gptq_tap_rounding(
     whole update is a T-step loop of rank-1 row updates, vectorized over
     channels, using the Cholesky factor of H^{-1} exactly as the paper
     does (measured here: the Cholesky recursion beats a fixed-H^{-1}
-    approximation 0.0096 vs 0.0121 output rel-err). On the synthetic
-    outlier weight family with measured decoder-feature correlation this
-    is ~2x lower conv output error than round-to-nearest (+6 dB) at
-    identical serving cost — the emitted int8 tensor just has better
-    values.
+    approximation 0.0096 vs 0.0121 output rel-err), plus a per-column
+    δᵀHδ safety net against feedback saturation (see below). On the
+    synthetic outlier weight family with measured decoder-feature
+    correlation this is up to ~2x lower conv output error than
+    round-to-nearest at identical serving cost — the emitted int8 tensor
+    just has better values — and never worse by construction.
 
     w: fp32 [(*k), cin, cout] (post-equalization); scale: per-cout [cout];
     tapcorr: [2r+1, 2r+1, 2r+1] with r >= max tap reach. Returns int8 w_q.
@@ -252,25 +253,42 @@ def gptq_tap_rounding(
             d = [0] * (3 - len(d)) + d  # 2D kernels: temporal offset 0
             row.append(c[d[0] + r, d[1] + r, d[2] + r])
         rows.append(jnp.stack(row))
-    H = jnp.stack(rows)  # [T, T]
-    H = H + damp * jnp.eye(T, dtype=jnp.float32)
+    H0 = jnp.stack(rows)  # [T, T]
+    H = H0 + damp * jnp.eye(T, dtype=jnp.float32)
     # GPTQ recursion: U = upper Cholesky factor of H^{-1} (U^T U = H^{-1});
     # after rounding tap t, the not-yet-quantized taps absorb the residual
     # along U's row t.
     U = jnp.linalg.cholesky(jnp.linalg.inv(H)).T
 
-    W2 = w.astype(jnp.float32).reshape((T,) + w.shape[-2:])  # [T, cin, cout]
+    W0 = w.astype(jnp.float32).reshape((T,) + w.shape[-2:])  # [T, cin, cout]
+    W2 = W0
     s = scale.reshape(1, -1)
     q_rows = []
     for t in range(T):
         q = jnp.clip(jnp.round(W2[t] / s), -127, 127)
-        q_rows.append(q.astype(jnp.int8))
+        q_rows.append(q)
         if t + 1 < T:
             err = (W2[t] - q * s) / U[t, t]
             W2 = W2.at[t + 1:].add(
                 -U[t, t + 1:].reshape(-1, 1, 1) * err[None]
             )
-    return jnp.stack(q_rows).reshape(w.shape)
+    q_gptq = jnp.stack(q_rows)
+
+    # Per-column safety net: on strongly-correlated Hessians the feedback
+    # can push later taps past the int8 grid edge, where clipping breaks
+    # the recursion's algebra — MEASURED catastrophic on the heavy-tailed
+    # outlier weight family (p90 per-conv weight err 98%, e2e drift
+    # 35.5 -> 18.9 dB). The expected output error of a column's rounding
+    # δ is exactly δᵀ H δ (H is the tap input Gram), so evaluate both
+    # roundings under it and keep GPTQ only where it wins — monotone vs
+    # round-to-nearest by construction.
+    q_rtn = jnp.clip(jnp.round(W0 / s), -127, 127)
+    d_g = q_gptq * s - W0
+    d_r = q_rtn * s - W0
+    e_g = jnp.einsum("tij,ts,sij->ij", d_g, H0, d_g)
+    e_r = jnp.einsum("tij,ts,sij->ij", d_r, H0, d_r)
+    w_q = jnp.where((e_g < e_r)[None], q_gptq, q_rtn)
+    return w_q.astype(jnp.int8).reshape(w.shape)
 
 
 def ksum_correction(

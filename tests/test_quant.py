@@ -773,3 +773,53 @@ def test_calibrate_captures_tapcorr_and_quantize_uses_it():
     assert set(leaf) >= {"kernel_q", "kernel_scale", "kernel_ksum",
                          "equalize_inv"}
     assert leaf["kernel_q"].dtype == jnp.int8
+
+
+def test_gptq_safety_net_on_illconditioned_hessian():
+    """Strongly-correlated Hessians (measured decoder features: 0.85
+    neighbor corr) make the raw GPTQ feedback saturate the int8 grid on
+    heavy-tailed weights — MEASURED catastrophic before the per-column
+    δᵀHδ safety net (p90 weight err 98%, e2e drift 35.5 -> 18.9 dB). The
+    netted rounding must (a) never blow up in weight space and (b) beat
+    round-to-nearest under the output-error proxy."""
+    from dove_tpu.ops.quant import equalization_vector, gptq_tap_rounding
+
+    rng = np.random.default_rng(5)
+    cin, cout, r = 48, 32, 2
+    # AR-like separable high correlation (rho=0.85 spatial, 0.74 temporal)
+    ax = 0.85 ** np.abs(np.arange(-r, r + 1))
+    at = 0.74 ** np.abs(np.arange(-r, r + 1))
+    corr = jnp.asarray(
+        at[:, None, None] * ax[None, :, None] * ax[None, None, :],
+        jnp.float32,
+    )
+    amax = jnp.asarray(np.exp(rng.normal(0, 1.0, cin)), jnp.float32)
+    w = jnp.asarray(
+        rng.standard_t(4, size=(3, 3, 3, cin, cout))
+        * np.exp(rng.normal(0, 0.6, cout)) * (27 * cin) ** -0.5,
+        jnp.float32,
+    )
+    d = equalization_vector(w, amax)
+    we = w * d.reshape(1, 1, 1, -1, 1)
+    s = jnp.max(jnp.abs(we), axis=(0, 1, 2, 3)) / 127.0
+    q = gptq_tap_rounding(we, s, corr)
+    deq = q.astype(jnp.float32) * s
+    wrel = float(jnp.linalg.norm(deq - we) / jnp.linalg.norm(we))
+    assert wrel < 0.10, wrel  # was 0.98 p90 before the net
+
+    # output proxy: delta^T H delta summed over columns
+    taps = [(a, b, c) for a in range(3) for b in range(3) for c in range(3)]
+    H = np.zeros((27, 27), np.float32)
+    cc = np.asarray(corr)
+    for i, ti in enumerate(taps):
+        for j, tj in enumerate(taps):
+            dd = [p - q2 for p, q2 in zip(ti, tj)]
+            H[i, j] = cc[dd[0] + r, dd[1] + r, dd[2] + r]
+
+    def proxy(qq):
+        dlt = (np.asarray(qq, np.float32) * np.asarray(s)
+               - np.asarray(we)).reshape(27, -1)
+        return float(np.einsum("ti,ts,si->", dlt, H, dlt))
+
+    q_rtn = jnp.clip(jnp.round(we / s), -127, 127)
+    assert proxy(q) <= proxy(q_rtn) * 1.0001, (proxy(q), proxy(q_rtn))
