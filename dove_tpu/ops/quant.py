@@ -291,6 +291,11 @@ def gptq_tap_rounding(
     return w_q.astype(jnp.int8).reshape(w.shape)
 
 
+# one module-level jit wrapper so the ~10 distinct conv shapes compile
+# once per process (a fresh jax.jit per call would re-trace every conv)
+_gptq_tap_rounding_jit = jax.jit(gptq_tap_rounding)
+
+
 def ksum_correction(
     p: Params, shape, strides, padding, dims, dtype
 ) -> jnp.ndarray:
@@ -457,7 +462,7 @@ def _quantize_leaf_dict(p: Params, donate: bool = True,
         wf = w.astype(jnp.float32)
         amax = jnp.max(jnp.abs(wf), axis=tuple(range(w.ndim - 1)))
         scale = jnp.maximum(amax, _EPS) / 127.0
-        w_q = jax.jit(gptq_tap_rounding)(wf, scale, tapcorr)
+        w_q = _gptq_tap_rounding_jit(wf, scale, tapcorr)
     else:
         fn = _quantize_weight_donated if donate else _quantize_weight_jit
         w_q, scale = fn(w, clip_search)

@@ -87,7 +87,34 @@ def main():
                     w = w * d.reshape((1,) * (w.ndim - 2) + (-1, 1))
                 deq = q["kernel_q"].astype(jnp.float32) * q["kernel_scale"]
                 rel = float(jnp.linalg.norm(deq - w) / jnp.linalg.norm(w))
-                rows[name] = round(rel, 6)
+                # OUTPUT-domain floor: with tap Gram H (from the calibrated
+                # autocorrelation), a column's expected output error is
+                # δᵀHδ and its output energy wᵀHw — the right metric for
+                # GPTQ'd weights, which deliberately trade weight-space
+                # error for output-space error.
+                out_rel = None
+                tc = calib.get(f"{name}#tapcorr")
+                if tc is not None and w.ndim == 5:
+                    cc = np.asarray(tc)
+                    r = (cc.shape[0] - 1) // 2
+                    kt, kh, kw = w.shape[:3]
+                    taps = [(a, b, c) for a in range(kt)
+                            for b in range(kh) for c in range(kw)]
+                    H = np.array(
+                        [[cc[a1 - a2 + r, b1 - b2 + r, c1 - c2 + r]
+                          for (a2, b2, c2) in taps]
+                         for (a1, b1, c1) in taps], np.float32)
+                    T = len(taps)
+                    D = np.asarray(deq - w, np.float32).reshape(T, -1)
+                    Wf = np.asarray(w, np.float32).reshape(T, -1)
+                    num = float(np.einsum("ti,ts,si->", D, H, D))
+                    den = float(np.einsum("ti,ts,si->", Wf, H, Wf))
+                    out_rel = (num / max(den, 1e-30)) ** 0.5
+                rows[name] = {
+                    "weight_rel_err": round(rel, 6),
+                    "output_rel_err": (round(out_rel, 6)
+                                       if out_rel is not None else None),
+                }
                 return
             for k, v in node.items():
                 walk(v, path + (k,))
@@ -96,21 +123,27 @@ def main():
                 walk(v, path + (i,))
 
     walk(params["decoder"], ("decoder",))
-    vals = np.array(list(rows.values()))
+    wvals = np.array([r["weight_rel_err"] for r in rows.values()])
+    ovals = np.array([r["output_rel_err"] for r in rows.values()
+                      if r["output_rel_err"] is not None])
     out = {
         "weights_family": args.weights,
         "quantizer": ("equalized + GPTQ tap rounding (serving)"
                       if args.calib else "plain RTN per-channel"),
-        "metric": "per-conv weight-only rel err ||deq(Q(w)) - w|| / ||w|| "
-                  "in the (equalized) domain the conv serves in",
-        "mean_rel_err": round(float(vals.mean()), 6),
-        "median_rel_err": round(float(np.median(vals)), 6),
-        "max_rel_err": round(float(vals.max()), 6),
+        "metric": "per-conv weight-only error in the (equalized) domain "
+                  "the conv serves in; output_rel_err uses the calibrated "
+                  "tap Gram (sqrt(dHd/wHw)) — the error no activation "
+                  "scheme can remove",
+        "mean_weight_rel_err": round(float(wvals.mean()), 6),
+        "median_weight_rel_err": round(float(np.median(wvals)), 6),
+        "mean_output_rel_err": (round(float(ovals.mean()), 6)
+                                if len(ovals) else None),
+        "median_output_rel_err": (round(float(np.median(ovals)), 6)
+                                  if len(ovals) else None),
         "per_conv": rows,
     }
-    print(json.dumps({k: out[k] for k in
-                      ("weights_family", "quantizer", "mean_rel_err",
-                       "median_rel_err", "max_rel_err")}, indent=2))
+    print(json.dumps({k: v for k, v in out.items() if k != "per_conv"},
+                     indent=2))
     if args.out:
         Path(args.out).write_text(json.dumps(out, indent=2) + "\n")
         print(f"wrote {args.out}", file=sys.stderr)
