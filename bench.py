@@ -36,6 +36,12 @@ import numpy as np
 # Cold 5B compiles cost ~17 min (BENCH_r04); a warm cache is disk reads.
 import os as _os
 
+# Record the decode device-vs-pull split in every bench run: the relay
+# link's weather swings the headline by ±2 s run to run (docs/DESIGN.md
+# §9); detail.stage_seconds.dec_device makes the captured number
+# interpretable without a re-run. The barrier it adds is one scalar pull.
+_os.environ.setdefault("DOVE_STAGE_TIMING", "2")
+
 from dove_tpu.utils.jax_cache import enable_persistent_cache
 
 enable_persistent_cache()
@@ -105,7 +111,9 @@ def build_pipeline(preset: str, vae_tiling: bool = True, quantize: str | None = 
     # unit stats compile the identical op graph as real stats, so the
     # measured seconds transfer (ops/quant.py:synthetic_vae_calib).
     vae_calib = None
-    if quantize in ("int8", "int8-vae", "int8-dit-dec"):
+    if quantize in ("int8", "int8-vae", "int8-dit-dec") and not _os.environ.get(
+        "DOVE_BENCH_NO_CALIB"
+    ):  # env: A/B the unequalized program (perf bisection)
         from dove_tpu.ops.quant import synthetic_vae_calib
 
         vae_calib = synthetic_vae_calib(vae_params)
@@ -145,20 +153,24 @@ def main():
     ap.add_argument("--tile_batch", type=int, default=1)
     ap.add_argument("--profile", type=str, default=None,
                     help="write a jax.profiler trace to this directory")
-    ap.add_argument("--quantize", type=str, default="int8",
+    ap.add_argument("--quantize", type=str, default="int8-dit-dec",
                     choices=["int8", "int8-dit", "int8-vae", "int8w", "int8-dit-dec", "none"],
-                    help="serving mode to bench. Default int8 (the "
-                         "production serving config: per-channel int8 "
-                         "weights, dynamic int8 activations, MXU int32 "
-                         "accumulation); int8-dit / int8-vae / int8w (weight-only "
-                         "W8A16) bench the "
-                         "mixed drift/speed frontier points "
-                         "(docs/reports/QUANT_FRONTIER.md); 'none' benches "
-                         "the bf16 bit-parity path")
-    ap.add_argument("--exclude", type=str, default="",
-                    help="comma-separated VAE conv names kept in bf16 "
-                         "(mirrors the serving config's mixed-precision "
-                         "exclusions so the measured program matches)")
+                    help="serving mode to bench. Default int8-dit-dec — "
+                         "the RECOMMENDED serving config (int8 DiT + int8 "
+                         "VAE decoder, bf16 encoder; with the default "
+                         "--exclude lowres it is the frontier's "
+                         "quality-safe point: 46.3 dB gaussian-family "
+                         "drift, docs/reports/QUANT_FRONTIER.md). "
+                         "int8 / int8-dit / int8-vae / int8w (weight-only "
+                         "W8A16) bench the other frontier points; 'none' "
+                         "benches the bf16 bit-parity path")
+    ap.add_argument("--exclude", type=str, default=None,
+                    help="comma-separated VAE conv names kept in bf16, or "
+                         "'lowres' (the cost-aware below-full-res decoder "
+                         "set). Default: 'lowres' for the recommended "
+                         "int8-dit-dec mode, empty otherwise — so the "
+                         "default bench measures the recommended serving "
+                         "config exactly")
     ap.add_argument("--row100", dest="row100", action="store_true",
                     default=None,
                     help="also measure the 100-frame long-clip row "
@@ -174,6 +186,8 @@ def main():
                     help="multi-chip mesh 'model' axis (Megatron DiT TP, "
                          "parallel/tp.py); needs data*model devices")
     args = ap.parse_args()
+    if args.exclude is None:
+        args.exclude = "lowres" if args.quantize == "int8-dit-dec" else ""
 
     if args.tiny:
         args.preset = "tiny"
@@ -253,7 +267,7 @@ def main():
             times.append(time.time() - t0)
             stage_splits.append(dict(pipe.stage_times))
             if _os.environ.get("DOVE_STAGE_TIMING"):
-                print(f"repeat total: {times[-1]:.2f}s", flush=True)
+                print(f"repeat total: {times[-1]:.2f}s", file=sys.stderr, flush=True)
     best = int(np.argmin(times))
     clip_seconds = times[best]
     stage_split = {k: round(v, 2) for k, v in stage_splits[best].items()}

@@ -166,17 +166,44 @@ def dynamic_quant_asym(
         x -> round(x*(eq_inv/s) - m/s) -> int8 (single consumer, no
         intermediate buffer).
     """
-    ch_axes = tuple(range(x.ndim - 1))
-    if eq_inv is not None:
-        e = eq_inv.astype(jnp.float32).reshape(-1)
-        cmax = jnp.max(x.astype(jnp.float32), axis=ch_axes)
-        cmin = jnp.min(x.astype(jnp.float32), axis=ch_axes)
-        amax = jnp.max(cmax * e)
-        amin = jnp.min(cmin * e)
-    else:
-        amax = jnp.max(x.astype(jnp.float32))
-        amin = jnp.min(x.astype(jnp.float32))
+    import os
+
+    if os.environ.get("DOVE_TAIL_CLIP", "").lower() in ("0", "off", "false"):
+        tail_clip = False  # A/B perf bisection knob (trace-time)
+    e = (eq_inv.astype(jnp.float32).reshape(-1)
+         if eq_inv is not None else None)
     if tail_clip:
+        # EVERYTHING except the final quantize runs on the block-stratified
+        # subsample — extrema included. A slightly-low sampled amax only
+        # saturates a few more tail elements, which is the exact mechanism
+        # the MSE search already prefers (its optima sit WELL inside the
+        # true range), while full-tensor extrema cost 2 extra HBM passes
+        # per conv — measured ~1.6 s of the 32f decode. The dense-side
+        # extremum (SiLU's -0.278 floor) is abundantly sampled.
+        x2 = x.reshape(-1, x.shape[-1])  # free: x is contiguous
+        n_rows = x2.shape[0]
+        if n_rows >= (1 << 15):
+            # 8 CONTIGUOUS row segments (~1/128 total) at static offsets:
+            # pure contiguous slices + one small concat — nothing touches
+            # the rest of the tensor. (Measured dead ends at decode scale,
+            # each ~1.3-1.7 s of a 32f decode: a [::16] row stride lowers
+            # to sub-512B gathers; a K-candidate broadcast over a 1/16
+            # sample materializes ~400 MB per conv; and slice[:nb*blk]
+            # .reshape(nb,blk,C) forces a full-tensor copy — reshape of a
+            # slice is not a view.)
+            seg_len = max(n_rows // 1024, 1)
+            step = n_rows // 8
+            x2 = jnp.concatenate(
+                [jax.lax.slice(x2, (i * step, 0),
+                               (i * step + seg_len, x2.shape[1]))
+                 for i in range(8)]
+            )
+        xs = x2.astype(jnp.float32)
+        if e is not None:
+            xs = xs * e
+        amax = jnp.max(xs)
+        amin = jnp.min(xs)
+
         ct = jnp.asarray(_TAIL_CLIP_CANDIDATES, jnp.float32)
         cs = jnp.asarray(_SYM_CLIP_CANDIDATES, jnp.float32)
         a = jnp.maximum(jnp.abs(amax), jnp.abs(amin))
@@ -185,27 +212,29 @@ def dynamic_quant_asym(
         m_c = 0.5 * (hi + lo)
         s_c = jnp.maximum((hi - lo) / 254.0, _EPS)
 
-        x2 = x.reshape(-1, x.shape[-1])
-        n_rows = x2.shape[0]
-        if n_rows >= (1 << 15):
-            blk = 2048
-            nb = n_rows // blk
-            x2 = x2[: nb * blk].reshape(nb, blk, -1)[:, : blk // 16]
+        # UNROLLED over the static candidate count: a lax.map compiles to a
+        # while loop whose per-iteration overhead on this runtime costs
+        # ~1.4 s across a decode's 136 conv calls (measured via the
+        # dec_device split) — 12 unrolled fused reductions schedule freely
+        # and cost what the (1/128-subsampled) arithmetic costs: ~nothing.
+        def err(sc, mc):
+            q = jnp.clip(jnp.round((xs - mc) / sc), -127, 127)
+            return jnp.sum(jnp.square(q * sc + mc - xs))
 
-        def err(args):
-            s, m = args
-            # fp32 view computed inside the map body: fuses into this
-            # iteration's reduce, nothing full-size materializes
-            xs = x2.astype(jnp.float32)
-            if eq_inv is not None:
-                xs = xs * e
-            q = jnp.clip(jnp.round((xs - m) / s), -127, 127)
-            return jnp.sum(jnp.square(q * s + m - xs))
-
-        errs = jax.lax.map(err, (s_c, m_c))
+        errs = jnp.stack([err(s_c[k], m_c[k])
+                          for k in range(int(s_c.shape[0]))])
         best = jnp.argmin(errs)
         s, m = s_c[best], m_c[best]
     else:
+        ch_axes = tuple(range(x.ndim - 1))
+        if e is not None:
+            cmax = jnp.max(x.astype(jnp.float32), axis=ch_axes)
+            cmin = jnp.min(x.astype(jnp.float32), axis=ch_axes)
+            amax = jnp.max(cmax * e)
+            amin = jnp.min(cmin * e)
+        else:
+            amax = jnp.max(x.astype(jnp.float32))
+            amin = jnp.min(x.astype(jnp.float32))
         m = 0.5 * (amax + amin)
         s = jnp.maximum((amax - amin) / 254.0, _EPS)
     if eq_inv is not None:

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import sys
 import time
 from pathlib import Path
 from typing import Any, Callable, ClassVar
@@ -1244,14 +1245,14 @@ class DovePipeline:
         t1 = time.time()
         self.stage_times["enc"] = self.stage_times.get("enc", 0.0) + (t1 - t0)
         if timing:
-            print(f"stage enc: {t1 - t0:.2f}s", flush=True)
+            print(f"stage enc: {t1 - t0:.2f}s", file=sys.stderr, flush=True)
 
         z = fns["dit"](self.dit_params, prompt, moments, rng)
         self._barrier(z)
         t2 = time.time()
         self.stage_times["dit"] = self.stage_times.get("dit", 0.0) + (t2 - t1)
         if timing:
-            print(f"stage dit: {t2 - t1:.2f}s", flush=True)
+            print(f"stage dit: {t2 - t1:.2f}s", file=sys.stderr, flush=True)
 
         dec = fns["dec_all"](self.vae_params, z)
         if return_device:
@@ -1261,19 +1262,22 @@ class DovePipeline:
             t3 = time.time()
             self.stage_times["dec"] = self.stage_times.get("dec", 0.0) + (t3 - t2)
             if timing:
-                print(f"stage dec/device: {t3 - t2:.2f}s", flush=True)
+                print(f"stage dec/device: {t3 - t2:.2f}s", file=sys.stderr, flush=True)
             return dec
         if os.environ.get("DOVE_STAGE_TIMING") == "2":
             # split decode into device time vs host-pull time (the barrier
             # is one scalar pull — free)
             self._barrier(dec)
             t_dev = time.time()
-            print(f"stage dec/device: {t_dev - t2:.2f}s", flush=True)
+            self.stage_times["dec_device"] = (
+                self.stage_times.get("dec_device", 0.0) + (t_dev - t2)
+            )
+            print(f"stage dec/device: {t_dev - t2:.2f}s", file=sys.stderr, flush=True)
         out_u8 = self._parallel_get(dec)[0]
         t3 = time.time()
         self.stage_times["dec"] = self.stage_times.get("dec", 0.0) + (t3 - t2)
         if timing:
-            print(f"stage dec: {t3 - t2:.2f}s", flush=True)
+            print(f"stage dec: {t3 - t2:.2f}s", file=sys.stderr, flush=True)
         if self.output_uint8:
             return out_u8  # writers accept uint8 directly
         return out_u8.astype(np.float32) / 255.0
@@ -1482,7 +1486,7 @@ class DovePipeline:
                 assert tiling.next_valid_frames(F) == F, F
                 data = lq
                 if _timing:
-                    print(f"stage pre: {time.time() - _t_pre:.2f}s", flush=True)
+                    print(f"stage pre: {time.time() - _t_pre:.2f}s", file=sys.stderr, flush=True)
                 out = self._sr_clip_streamed(
                     data, jax.random.PRNGKey(seed),
                     # honor an explicit temporal-overlap request like the
@@ -1537,14 +1541,14 @@ class DovePipeline:
                         axis=0,
                     )
                 if _timing:
-                    print(f"stage pre: {time.time() - _t_pre:.2f}s", flush=True)
+                    print(f"stage pre: {time.time() - _t_pre:.2f}s", file=sys.stderr, flush=True)
                 out = self._sr_clip_staged(data, rng)[:F]
                 _t_post = time.time()
                 if extra_f:
                     out = out[:-extra_f]
                 out = _trim_output(out, pad_f, pad_h, pad_w, upscale)
                 if _timing:
-                    print(f"stage post: {time.time() - _t_post:.2f}s", flush=True)
+                    print(f"stage post: {time.time() - _t_post:.2f}s", file=sys.stderr, flush=True)
                 return out
             def chunk_data(ts, te):
                 data = lq[ts:te]
