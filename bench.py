@@ -153,24 +153,25 @@ def main():
     ap.add_argument("--tile_batch", type=int, default=1)
     ap.add_argument("--profile", type=str, default=None,
                     help="write a jax.profiler trace to this directory")
-    ap.add_argument("--quantize", type=str, default="int8-dit-dec",
+    ap.add_argument("--quantize", type=str, default="int8-dit",
                     choices=["int8", "int8-dit", "int8-vae", "int8w", "int8-dit-dec", "none"],
-                    help="serving mode to bench. Default int8-dit-dec — "
-                         "the RECOMMENDED serving config (int8 DiT + int8 "
-                         "VAE decoder, bf16 encoder; with the default "
-                         "--exclude lowres it is the frontier's "
-                         "quality-safe point: 46.3 dB gaussian-family "
-                         "drift, docs/reports/QUANT_FRONTIER.md). "
-                         "int8 / int8-dit / int8-vae / int8w (weight-only "
-                         "W8A16) bench the other frontier points; 'none' "
-                         "benches the bf16 bit-parity path")
+                    help="serving mode to bench. Default int8-dit — the "
+                         "RECOMMENDED serving config (int8 W8A8 DiT + qk8 "
+                         "flash attention, bf16 VAE): quality-safe on BOTH "
+                         "synthetic weight families (49.1/48.9 dB drift) "
+                         "and the fastest measured quality-safe point — "
+                         "the int8-decoder modes' runtime quality "
+                         "machinery currently eats their conv-rate gains "
+                         "(measured same-window: docs/reports/"
+                         "QUANT_FRONTIER.md). int8 / int8-vae / int8w / "
+                         "int8-dit-dec bench the other frontier points; "
+                         "'none' benches the bf16 bit-parity path")
     ap.add_argument("--exclude", type=str, default=None,
                     help="comma-separated VAE conv names kept in bf16, or "
                          "'lowres' (the cost-aware below-full-res decoder "
-                         "set). Default: 'lowres' for the recommended "
-                         "int8-dit-dec mode, empty otherwise — so the "
-                         "default bench measures the recommended serving "
-                         "config exactly")
+                         "set). Default: 'lowres' when --quantize "
+                         "int8-dit-dec (that mode's measured frontier "
+                         "point), empty otherwise")
     ap.add_argument("--row100", dest="row100", action="store_true",
                     default=None,
                     help="also measure the 100-frame long-clip row "
